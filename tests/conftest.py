@@ -3,10 +3,17 @@ exercised without TPU hardware (must run before jax initializes)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the TPU backend via jax config,
+# overriding the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

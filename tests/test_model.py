@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests.torch_replica import TorchUNet2d5_spvPA
+from vs_seg_tpu.compat.torch_import import import_unet2d5_spvpa
+from vs_seg_tpu.models import UNet2d5_spvPA
+
+SMALL = dict(
+    channels=(4, 8, 12, 16),
+    strides=((2, 2, 1), (2, 2, 2), (2, 2, 2)),
+    kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+    sample_kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+)
+
+
+def test_model_shapes_and_attmap_pyramid():
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
+                          attention_module=True, dtype=jnp.float32, **SMALL)
+    x = jnp.zeros((1, 16, 16, 8, 1))
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           x, train=False)
+    logits, att_maps = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 16, 16, 8, 2)
+    assert len(att_maps) == len(SMALL["channels"])
+    # coarsest -> finest, each a single-channel map
+    expected = [(1, 2, 2, 2, 1), (1, 4, 4, 4, 1), (1, 8, 8, 8, 1), (1, 16, 16, 8, 1)]
+    assert [tuple(a.shape) for a in att_maps] == expected
+
+
+def test_model_matches_torch_replica_eval():
+    """Golden end-to-end parity: random torch reference-replica weights ->
+    converter -> our model; logits and all attention maps must match."""
+    torch.manual_seed(0)
+    tmodel = TorchUNet2d5_spvPA(1, 2, SMALL["channels"], SMALL["strides"],
+                                SMALL["kernel_sizes"], SMALL["sample_kernel_sizes"],
+                                num_res_units=2, dropout=0.1, attention=True)
+    tmodel.eval()
+    x = torch.randn(2, 1, 16, 16, 8)
+    with torch.no_grad():
+        ref_logits, ref_atts = tmodel(x)
+
+    params, stats = import_unet2d5_spvpa(
+        {k: v.clone() for k, v in tmodel.state_dict().items()},
+        channels=SMALL["channels"], num_res_units=2, attention=True)
+
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
+                          attention_module=True, dtype=jnp.float32, **SMALL)
+    variables = {"params": params, "batch_stats": stats}
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1).copy())
+    logits, att_maps = model.apply(variables, xj, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits.numpy().transpose(0, 2, 3, 4, 1),
+        atol=5e-4, rtol=1e-3)
+    assert len(att_maps) == len(ref_atts)
+    for ours, ref in zip(att_maps, ref_atts):
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy().transpose(0, 2, 3, 4, 1),
+            atol=5e-4, rtol=1e-3)
+
+
+def test_converted_tree_structure_matches_init():
+    """Converter output must exactly match the flax init tree (no orphans)."""
+    torch.manual_seed(1)
+    tmodel = TorchUNet2d5_spvPA(1, 2, SMALL["channels"], SMALL["strides"],
+                                SMALL["kernel_sizes"], SMALL["sample_kernel_sizes"])
+    params, stats = import_unet2d5_spvpa(tmodel.state_dict(),
+                                         channels=SMALL["channels"])
+    model = UNet2d5_spvPA(out_channels=2, dtype=jnp.float32, **SMALL)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           jnp.zeros((1, 16, 16, 8, 1)), train=False)
+
+    def paths(tree):
+        return {jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    assert paths(variables["params"]) == paths(params)
+    assert paths(variables["batch_stats"]) == paths(stats)
+
+
+def test_no_attention_variant():
+    model = UNet2d5_spvPA(out_channels=2, attention_module=False,
+                          dtype=jnp.float32, **SMALL)
+    x = jnp.zeros((1, 16, 16, 8, 1))
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           x, train=False)
+    logits, att_maps = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 16, 16, 8, 2)
+    assert att_maps == ()

@@ -1,0 +1,195 @@
+"""Low-level NN primitives (channels-last NDHWC, TPU-native).
+
+Semantics match the reference building blocks exactly so that imported
+reference checkpoints reproduce outputs:
+  - conv / transpose-conv padding arithmetic: reference
+    params/networks/blocks/convolutions.py:85,114-135 (MONAI same_padding +
+    output_padding = strides + 2*padding - dilation*(kernel-1) - 1, giving
+    output = input * stride for the transpose path)
+  - BatchNorm: torch BatchNorm3d semantics (biased batch stats for
+    normalization, unbiased for the running-var update, momentum 0.1, eps 1e-5)
+  - PReLU: single shared parameter, init 0.25 (MONAI Act.PRELU default)
+  - Dropout: elementwise, train-only, inverted scaling
+
+Layout: activations (B, H, W, D, C); conv kernels (kh, kw, kd, Cin, Cout).
+Convs run in `dtype` (bfloat16 by default) with float32 accumulation via
+`preferred_element_type`; everything else stays float32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Shape3 = Tuple[int, int, int]
+
+_DIMENSION_NUMBERS = ("NHWDC", "HWDIO", "NHWDC")
+
+
+def _triple(v) -> Shape3:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == 3
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+def same_padding(kernel_size, dilation=1) -> Shape3:
+    """MONAI same_padding: (k - 1) // 2 * d per dim (odd kernels exact)."""
+    k = np.asarray(_triple(kernel_size))
+    d = np.asarray(_triple(dilation))
+    return tuple(int(p) for p in (k - 1) // 2 * d)
+
+
+def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+           strides: Shape3, padding: Sequence[Tuple[int, int]],
+           dtype=jnp.bfloat16, lhs_dilation: Optional[Shape3] = None) -> jnp.ndarray:
+    """3D conv, bf16 inputs + f32 accumulation (MXU-friendly)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=strides, padding=list(padding),
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=_DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
+class Conv3d(nn.Module):
+    """Plain 3D convolution with torch-Conv3d-compatible init and padding."""
+
+    features: int
+    kernel_size: Shape3
+    strides: Shape3 = (1, 1, 1)
+    padding: Optional[Shape3] = None  # None -> same_padding
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = _triple(self.kernel_size)
+        s = _triple(self.strides)
+        p = same_padding(k) if self.padding is None else _triple(self.padding)
+        cin = x.shape[-1]
+        # torch Conv3d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+        # kernel (kaiming_uniform with a=sqrt(5)) and bias.
+        fan_in = cin * int(np.prod(k))
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w = self.param("kernel", uniform_init, (*k, cin, self.features), jnp.float32)
+        b = (self.param("bias", uniform_init, (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return conv3d(x, w, b, s, [(pi, pi) for pi in p], dtype=self.dtype)
+
+
+class ConvTranspose3d(nn.Module):
+    """Transpose conv with exact torch-ConvTranspose3d output arithmetic.
+
+    With MONAI's output_padding choice (reference convolutions.py:114-135) the
+    output shape is exactly input*stride. Implemented as an input-dilated conv
+    with spatially flipped kernels (the adjoint of the strided conv), which XLA
+    lowers to the MXU directly.
+    """
+
+    features: int
+    kernel_size: Shape3
+    strides: Shape3 = (1, 1, 1)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = np.asarray(_triple(self.kernel_size))
+        s = np.asarray(_triple(self.strides))
+        p = np.asarray(same_padding(tuple(k)))
+        output_padding = s + 2 * p - (k - 1) - 1
+        # dilated-input conv padding: (k-1-p) low, (k-1-p+output_padding) high
+        pad = [(int(ki - 1 - pi), int(ki - 1 - pi + opi))
+               for ki, pi, opi in zip(k, p, output_padding)]
+        cin = x.shape[-1]
+        # torch ConvTranspose3d init: fan_in = Cout * prod(k) (weight shape (Cin,Cout,k..))
+        fan_in = self.features * int(np.prod(k))
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w = self.param("kernel", kernel_init, (*[int(v) for v in k], cin, self.features),
+                       jnp.float32)
+        b = (self.param("bias", kernel_init, (self.features,), jnp.float32)
+             if self.use_bias else None)
+        w_flipped = jnp.flip(w, axis=(0, 1, 2))
+        return conv3d(x, w_flipped, b, (1, 1, 1), pad, dtype=self.dtype,
+                      lhs_dilation=tuple(int(v) for v in s))
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm3d semantics over NDHWC (normalize with biased batch
+    stats; running var updated with the unbiased estimate)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        x = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
+class PReLU(nn.Module):
+    """Single shared slope (torch PReLU num_parameters=1, init 0.25 — the
+    MONAI Act.PRELU default used at reference convolutions.py:96)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
+        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+ACTIVATIONS = {
+    "prelu": None,  # handled as a module (has a parameter)
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    None: None,
+}
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
