@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Training entry point — CLI-compatible with the reference VS_train.py.
+
+Flow (reference VS_train.py:15-51): parse args -> results folders -> logger ->
+parameter dump -> split CSV -> transforms -> transform sanity figure -> cached
+loaders -> model/loss/optimizer -> training loop -> loss/Dice curves.
+"""
+
+import argparse
+
+from vs_seg_tpu.core import (add_reference_cli_flags, config_from_args,
+                             create_results_folders, log_parameters,
+                             set_up_logger)
+from vs_seg_tpu.data.dataset import CacheDataset, DataLoader, load_split_csv
+from vs_seg_tpu.data.transforms import get_transforms
+from vs_seg_tpu.eval import figures
+from vs_seg_tpu.models import build_model
+from vs_seg_tpu.train import Trainer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_reference_cli_flags(parser)
+    cfg = config_from_args(parser.parse_args(argv))
+
+    create_results_folders(cfg)
+    logger = set_up_logger(cfg, "training_log.txt")
+    log_parameters(cfg, logger)
+
+    train_files, val_files, _ = load_split_csv(cfg.split_csv, cfg.dataset,
+                                               cfg.data_root)
+    logger.info("Number of images in training set   = %d", len(train_files))
+    logger.info("Number of images in validation set = %d", len(val_files))
+    train_t, val_t, _ = get_transforms(cfg.pad_crop_shape)
+
+    # transform sanity figure (reference VSparams.py:266-297)
+    import numpy as np
+    check = val_t(dict(val_files[0]), np.random.default_rng(cfg.seed))
+    logger.info("Validation image shape = %s", check["image"].shape)
+    figures.save_transform_check(check["image"][0], check["label"][0],
+                                 cfg.figures_path)
+
+    logger.info("Caching training data set...")
+    train_ds = CacheDataset(train_files, train_t, num_workers=cfg.num_workers)
+    logger.info("Caching validation data set...")
+    val_ds = CacheDataset(val_files, val_t, num_workers=cfg.num_workers)
+    train_loader = DataLoader(train_ds, batch_size=cfg.train_batch_size,
+                              shuffle=True, seed=cfg.seed,
+                              prefetch=cfg.prefetch_depth)
+    val_loader = DataLoader(val_ds, batch_size=1)
+
+    logger.info("Setting up the model type...")
+    model = build_model(cfg)
+    tb_writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        tb_writer = SummaryWriter()
+    except Exception:
+        logger.info("tensorboardX unavailable; skipping TB logging")
+
+    trainer = Trainer(cfg, model, logger=logger, tb_writer=tb_writer)
+    state = trainer.init_state()
+    state, epoch_loss_values, metric_values = trainer.fit(
+        state, train_loader, val_loader)
+
+    figures.save_loss_and_dice_curves(epoch_loss_values, metric_values,
+                                      cfg.val_interval, cfg.figures_path)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Whole-volume inference driver (reference run_inference, params/VSparams.py:552-619).
+
+Per test case: Gaussian-blended sliding-window inference -> hard Dice vs label
+-> NIFTI export of the argmax labelmap using the *label's* original affine
+(reference :585-594) -> center-of-mass-slice 3-panel PNG. Afterwards: Dice
+histogram + mean±std log.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vs_seg_tpu.data import nifti
+from vs_seg_tpu.eval import figures
+from vs_seg_tpu.eval.metrics import dice_score
+from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+
+
+def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
+    """(N, *roi, C) -> (N, *roi, out) logits; closes over fixed variables so
+    the sliding-window jit caches one executable per padded shape."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def predictor(wins):
+        out = model.apply(variables, wins.astype(dtype), train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return logits
+
+    return predictor
+
+
+def run_inference(cfg, model, params, batch_stats, test_loader,
+                  logger: Optional[logging.Logger] = None,
+                  export: Optional[bool] = None,
+                  make_figures: bool = True):
+    """Returns (dice_scores, wall_seconds_per_volume)."""
+    logger = logger or logging.getLogger()
+    logger.info("Running inference...")
+    export = cfg.export_inferred_segmentations if export is None else export
+    dtype = jnp.bfloat16 if cfg.infer_dtype == "bfloat16" else jnp.float32
+    predictor = make_predictor(model, params, batch_stats, dtype=dtype)
+
+    dice_scores = np.zeros(len(test_loader))
+    times = []
+    for i, data in enumerate(test_loader):
+        logger.info("starting image %d", i)
+        image = np.transpose(data["image"][0], (1, 2, 3, 0))  # (H, W, D, C)
+        label = np.transpose(data["label"][0], (1, 2, 3, 0))
+
+        t0 = time.perf_counter()
+        outputs = sliding_window_inference(
+            image, cfg.sliding_window_inferer_roi_size, predictor,
+            overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
+            mode="gaussian")
+        outputs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+        dice = float(dice_score(outputs[None].astype(jnp.float32),
+                                jnp.asarray(label[None])))
+        dice_scores[i] = dice
+        logger.info("dice_score = %s", dice)
+
+        pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1))
+
+        if export:
+            logger.info("export to nifti...")
+            meta = data["label_meta"][0]
+            folder_name = os.path.basename(
+                os.path.dirname(meta["filename_or_obj"]))
+            out_dir = os.path.join(cfg.results_folder_path,
+                                   "inferred_segmentations_nifti", folder_name)
+            base = os.path.basename(meta["filename_or_obj"])
+            base = base.replace(".nii.gz", "").replace(".nii", "")
+            nifti.write_labelmap(
+                pred_argmax.astype(np.float32),
+                os.path.join(out_dir, base + ".nii.gz"),
+                affine=meta["affine"], target_affine=meta["original_affine"])
+
+        if make_figures:
+            figures.save_inference_panel(image[..., 0], label[..., 0],
+                                         pred_argmax, dice, i, cfg.figures_path)
+
+    if make_figures:
+        figures.save_dice_histogram(dice_scores, cfg.figures_path)
+    logger.info("all_dice_scores = %s", dice_scores)
+    logger.info("mean_dice_score = %s +- %s", dice_scores.mean(), dice_scores.std())
+    if times:
+        steady = times[1:] if len(times) > 1 else times
+        logger.info("volumes/sec (steady-state) = %.3f",
+                    1.0 / (sum(steady) / len(steady)))
+    return dice_scores, times

@@ -1,0 +1,192 @@
+"""Sliding-window inference with Gaussian blending (TPU-native).
+
+Replaces MONAI 0.4 `sliding_window_inference(mode="gaussian")` as used at
+reference params/VSparams.py:568-574. Semantics reproduced exactly:
+  - pad each dim to >= roi (symmetric, constant 0)
+  - window starts: scan_interval = int(roi*(1-overlap)) (roi if dim==roi);
+    scan_num = ceil(dim/interval); start_i = i*interval clamped so the window
+    fits (MONAI dense_patch_slices, incl. duplicate clamped windows)
+  - Gaussian importance map: impulse-at-center filtered with sigma =
+    0.125*roi, truncated at 4*sigma, normalized to max 1, zeros replaced by
+    the min nonzero value
+  - out = sum(pred * imp) / sum(imp), crop padding
+
+TPU-first design differences from the reference:
+  - windows are evaluated in batches of `sw_batch_size` (reference: 1, serial)
+  - the whole pipeline (slice windows -> predictor -> blend-accumulate) is a
+    single jitted XLA program; window starts are traced values so one
+    compilation serves every volume with the same padded shape
+  - accumulation is f32 in-place via dynamic_update_slice (no per-window
+    output copies materialized in HBM)
+  - optional shape bucketing bounds the number of recompiles across a test
+    set of heterogeneous volume shapes
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_importance_map(roi_size: Sequence[int],
+                            sigma_scale: float = 0.125) -> np.ndarray:
+    """MONAI 0.4 compute_importance_map(mode=gaussian) equivalent.
+
+    Filtering an impulse at the center voxel with a truncated (4*sigma)
+    separable Gaussian equals the product of per-axis truncated Gaussians
+    evaluated at the distance from center — computed here in closed form.
+    """
+    maps_1d = []
+    for dim in roi_size:
+        center = dim // 2
+        sigma = sigma_scale * dim
+        tail = int(4.0 * sigma + 0.5)
+        x = np.arange(dim, dtype=np.float64) - center
+        g = np.exp(-0.5 * (x / sigma) ** 2)
+        g[np.abs(x) > tail] = 0.0
+        maps_1d.append(g)
+    imp = maps_1d[0][:, None, None] * maps_1d[1][None, :, None] * maps_1d[2][None, None, :]
+    imp = (imp / imp.max()).astype(np.float32)
+    nz = imp[imp != 0]
+    if nz.size and (imp == 0).any():
+        imp[imp == 0] = nz.min()
+    return imp
+
+
+def _scan_interval(image_size, roi_size, overlap: float) -> Tuple[int, ...]:
+    return tuple(
+        int(roi) if roi == dim else int(roi * (1 - overlap))
+        for roi, dim in zip(roi_size, image_size))
+
+
+def dense_patch_starts(image_size, roi_size, overlap: float) -> np.ndarray:
+    """MONAI 0.4 dense_patch_slices window starts (duplicates preserved)."""
+    intervals = _scan_interval(image_size, roi_size, overlap)
+    per_dim = []
+    for dim, roi, interval in zip(image_size, roi_size, intervals):
+        if interval == 0:
+            per_dim.append([0])
+            continue
+        scan_num = int(math.ceil(float(dim) / interval))
+        starts = []
+        for i in range(scan_num):
+            start = i * interval
+            start -= max(start + roi - dim, 0)
+            starts.append(start)
+        per_dim.append(starts)
+    grid = np.stack(np.meshgrid(*per_dim, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 3).astype(np.int32)
+
+
+def _pad_to_roi(volume: np.ndarray, roi_size) -> Tuple[np.ndarray, list]:
+    """Pad (H, W, D, C) so each spatial dim >= roi (half/half, constant 0)."""
+    pads, crops = [], []
+    for dim, roi in zip(volume.shape[:3], roi_size):
+        diff = max(roi - dim, 0)
+        half = diff // 2
+        pads.append((half, diff - half))
+        crops.append((half, half + dim))
+    volume = np.pad(volume, pads + [(0, 0)], mode="constant")
+    return volume, crops
+
+
+@partial(jax.jit, static_argnames=("predictor", "roi_size", "sw_batch_size",
+                                   "out_channels"))
+def _sliding_window_jit(volume, starts, mask, importance, *, predictor,
+                        roi_size, sw_batch_size, out_channels):
+    """volume (H,W,D,C); starts (n_pad, 3) int32; mask (n_pad,) f32.
+
+    n_pad is a multiple of sw_batch_size; masked (duplicate-padded) windows
+    contribute zero weight.
+    """
+    H, W, D, C = volume.shape
+    n_pad = starts.shape[0]
+    n_batches = n_pad // sw_batch_size
+    starts_b = starts.reshape(n_batches, sw_batch_size, 3)
+    mask_b = mask.reshape(n_batches, sw_batch_size)
+
+    out_acc = jnp.zeros((H, W, D, out_channels), jnp.float32)
+    w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
+
+    def gather_window(start):
+        return jax.lax.dynamic_slice(volume, (start[0], start[1], start[2], 0),
+                                     (*roi_size, C))
+
+    def body(carry, inputs):
+        out_acc, w_acc = carry
+        batch_starts, batch_mask = inputs
+        wins = jax.vmap(gather_window)(batch_starts)            # (sb, *roi, C)
+        preds = predictor(wins).astype(jnp.float32)             # (sb, *roi, O)
+        imp = importance[None, ..., None] * batch_mask[:, None, None, None, None]
+        weighted = preds * imp
+
+        def scatter(i, carry):
+            out_acc, w_acc = carry
+            s = batch_starts[i]
+            idx = (s[0], s[1], s[2], 0)
+            cur_out = jax.lax.dynamic_slice(out_acc, idx, (*roi_size, out_channels))
+            out_acc = jax.lax.dynamic_update_slice(out_acc, cur_out + weighted[i], idx)
+            cur_w = jax.lax.dynamic_slice(w_acc, idx, (*roi_size, 1))
+            w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + imp[i], idx)
+            return out_acc, w_acc
+
+        carry = jax.lax.fori_loop(0, sw_batch_size, scatter, (out_acc, w_acc))
+        return carry, None
+
+    (out_acc, w_acc), _ = jax.lax.scan(body, (out_acc, w_acc),
+                                       (starts_b, mask_b))
+    return out_acc / w_acc
+
+
+def sliding_window_inference(volume: np.ndarray, roi_size: Sequence[int],
+                             predictor: Callable, *, overlap: float = 0.25,
+                             sw_batch_size: int = 4, mode: str = "gaussian",
+                             sigma_scale: float = 0.125,
+                             bucket: Optional[Sequence[int]] = None) -> jnp.ndarray:
+    """Run `predictor` over overlapping ROIs of a whole volume and blend.
+
+    volume: (H, W, D, C) host array (single case; batch over cases at a higher
+    level). predictor: (N, *roi, C) -> (N, *roi, out_channels), jit-traceable.
+    bucket: optional per-dim multiples to round padded shapes up to, bounding
+    recompilation across heterogeneous volumes (at slightly more compute).
+    Returns (H, W, D, out_channels) blended logits on device.
+    """
+    volume = np.asarray(volume, dtype=np.float32)
+    assert volume.ndim == 4, "expected (H, W, D, C)"
+    roi_size = tuple(int(r) for r in roi_size)
+    padded, crops = _pad_to_roi(volume, roi_size)
+    if bucket is not None:
+        extra = [(-padded.shape[i]) % bucket[i] for i in range(3)]
+        padded = np.pad(padded, [(0, e) for e in extra] + [(0, 0)])
+    starts = dense_patch_starts(padded.shape[:3], roi_size, overlap)
+
+    n = starts.shape[0]
+    n_pad = -(-n // sw_batch_size) * sw_batch_size
+    mask = np.zeros(n_pad, np.float32)
+    mask[:n] = 1.0
+    starts_padded = np.zeros((n_pad, 3), np.int32)
+    starts_padded[:n] = starts
+
+    if mode == "gaussian":
+        importance = gaussian_importance_map(roi_size, sigma_scale)
+    elif mode == "constant":
+        importance = np.ones(roi_size, np.float32)
+    else:
+        raise ValueError(f"unsupported blend mode {mode}")
+
+    probe = jax.eval_shape(predictor,
+                           jax.ShapeDtypeStruct((1, *roi_size, volume.shape[-1]),
+                                                jnp.float32))
+    out_channels = int(probe.shape[-1])
+
+    blended = _sliding_window_jit(
+        jnp.asarray(padded), jnp.asarray(starts_padded), jnp.asarray(mask),
+        jnp.asarray(importance), predictor=predictor, roi_size=roi_size,
+        sw_batch_size=sw_batch_size, out_channels=out_channels)
+    (h0, h1), (w0, w1), (d0, d1) = crops
+    return blended[h0:h1, w0:w1, d0:d1, :]
