@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark: sliding-window whole-volume inference throughput (the reference
+north-star path, params/VSparams.py:568-574).
+
+Runs the flagship UNet2d5_spvPA over a synthetic whole volume with the
+reference inference protocol (ROI 384x384x64, overlap 0.25, Gaussian blending)
+on the available accelerator, and prints ONE JSON line:
+  {"metric": "sliding_window_volumes_per_sec", "value": N, "unit": "volumes/sec",
+   "vs_baseline": N}
+
+vs_baseline is measured against a conservative A100 reference estimate for the
+same serial sw_batch_size=1 torch pipeline (see BASELINE.md: the repo publishes
+no numbers; this anchor must be re-measured on real hardware).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference-protocol volume: a typical TCIA T2 volume is ~448x448x80 after
+# RAS reorientation; ROI 384x384x64, overlap 0.25 -> 2x2x2 = 8 windows.
+VOLUME_SHAPE = (448, 448, 80)
+ROI = (384, 384, 64)
+WARMUP = 1
+ITERS = 3
+
+# Conservative measured-estimate anchor for the reference pipeline
+# (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this
+# volume/ROI. Re-measure per BASELINE.md when reference hardware is available.
+A100_BASELINE_VPS = 0.55
+
+
+def main():
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+    from vs_seg_tpu.models.unet2d5_spvpa import UNet2d5_spvPA
+
+    from vs_seg_tpu.train.trainer import init_model
+    model = UNet2d5_spvPA(dtype=jnp.bfloat16)
+    variables = init_model(model, 0)
+    predictor = make_predictor(model, variables["params"],
+                               variables.get("batch_stats", {}),
+                               dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    volume = rng.normal(size=(*VOLUME_SHAPE, 1)).astype(np.float32)
+
+    def run():
+        out = sliding_window_inference(volume, ROI, predictor, overlap=0.25,
+                                       sw_batch_size=2, mode="gaussian")
+        out.block_until_ready()
+        return out
+
+    for _ in range(WARMUP):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    vps = 1.0 / dt
+    print(json.dumps({
+        "metric": "sliding_window_volumes_per_sec",
+        "value": round(vps, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vps / A100_BASELINE_VPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Preprocessing toolchain tests: minimal DICOM writer (test-only) ->
+series assembly, affine correctness, RTSTRUCT contour rasterization."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from vs_seg_tpu.preprocessing import convert
+from vs_seg_tpu.preprocessing.dicom import read_dicom, pixel_array
+
+
+def _el(group, elem, vr, payload: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return head + b"\x00\x00" + struct.pack("<I", len(payload)) + payload
+    return head + struct.pack("<H", len(payload)) + payload
+
+
+def _txt(s):
+    b = str(s).encode()
+    return b + b" " if len(b) % 2 else b
+
+
+def write_mr_slice(path, pixels: np.ndarray, ipp, iop, spacing, series_uid,
+                   sop_uid, desc="t1 image"):
+    body = b""
+    body += _el(0x0008, 0x0018, b"UI", _txt(sop_uid))
+    body += _el(0x0008, 0x0060, b"CS", _txt("MR"))
+    body += _el(0x0008, 0x103E, b"LO", _txt(desc))
+    body += _el(0x0020, 0x000E, b"UI", _txt(series_uid))
+    body += _el(0x0020, 0x0032, b"DS", _txt("\\".join(f"{v:g}" for v in ipp)))
+    body += _el(0x0020, 0x0037, b"DS", _txt("\\".join(f"{v:g}" for v in iop)))
+    body += _el(0x0028, 0x0010, b"US", struct.pack("<H", pixels.shape[0]))
+    body += _el(0x0028, 0x0011, b"US", struct.pack("<H", pixels.shape[1]))
+    body += _el(0x0028, 0x0030, b"DS", _txt(f"{spacing[0]:g}\\{spacing[1]:g}"))
+    body += _el(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el(0x0028, 0x0103, b"US", struct.pack("<H", 1))
+    body += _el(0x0028, 0x1052, b"DS", _txt("0"))
+    body += _el(0x0028, 0x1053, b"DS", _txt("1"))
+    body += _el(0x7FE0, 0x0010, b"OW", pixels.astype("<i2").tobytes())
+    meta_el = _el(0x0002, 0x0010, b"UI", _txt("1.2.840.10008.1.2.1"))
+    meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_el))) + meta_el
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def _item(payload: bytes) -> bytes:
+    return struct.pack("<HHI", 0xFFFE, 0xE000, len(payload)) + payload
+
+
+def write_rtstruct(path, contours_lps, roi_name="VS_tumor", series_uid="1.2.3"):
+    roi_seq = _item(_el(0x3006, 0x0022, b"IS", _txt("1"))
+                    + _el(0x3006, 0x0026, b"LO", _txt(roi_name)))
+    contour_items = b""
+    for pts in contours_lps:
+        flat = "\\".join(f"{v:.4f}" for v in np.asarray(pts).ravel())
+        contour_items += _item(
+            _el(0x3006, 0x0046, b"IS", _txt(str(len(pts))))
+            + _el(0x3006, 0x0050, b"DS", _txt(flat)))
+    roi_contour = _item(
+        _el(0x3006, 0x0040, b"SQ", contour_items)
+        + _el(0x3006, 0x0084, b"IS", _txt("1")))
+    body = b""
+    body += _el(0x0008, 0x0060, b"CS", _txt("RTSTRUCT"))
+    body += _el(0x3006, 0x0010, b"SQ", _item(
+        _el(0x3006, 0x0024, b"UI", _txt(series_uid))))
+    body += _el(0x3006, 0x0020, b"SQ", roi_seq)
+    body += _el(0x3006, 0x0039, b"SQ", roi_contour)
+    meta_el = _el(0x0002, 0x0010, b"UI", _txt("1.2.840.10008.1.2.1"))
+    meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_el))) + meta_el
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+@pytest.fixture()
+def dicom_case(tmp_path, rng):
+    """Axial series: 4 slices 16x16, 1mm in-plane, 2mm slice step."""
+    case = tmp_path / "case"
+    case.mkdir()
+    series_uid = "1.2.826.0.1.999"
+    vol = rng.integers(-50, 200, size=(16, 16, 4)).astype(np.int16)
+    for k in range(4):
+        write_mr_slice(str(case / f"IMG{k:04d}.dcm"), vol[:, :, k],
+                       ipp=(-10.0, -20.0, 5.0 + 2.0 * k),
+                       iop=(1, 0, 0, 0, 1, 0), spacing=(1.0, 1.0),
+                       series_uid=series_uid, sop_uid=f"1.2.3.{k}")
+    # circular contour of radius 3mm centered at voxel (8, 8) of slice 1 (LPS)
+    center_lps = np.array([-10.0 + 8 * 1.0, -20.0 + 8 * 1.0, 7.0])
+    theta = np.linspace(0, 2 * np.pi, 33)[:-1]
+    circle = np.stack([center_lps[0] + 3.0 * np.cos(theta),
+                       center_lps[1] + 3.0 * np.sin(theta),
+                       np.full_like(theta, 7.0)], axis=1)
+    write_rtstruct(str(case / "RTSS.dcm"), [circle], series_uid=series_uid)
+    return case, vol
+
+
+def test_read_mr_slice(dicom_case):
+    case, vol = dicom_case
+    ds = read_dicom(str(case / "IMG0000.dcm"))
+    assert ds["Modality"] == "MR"
+    assert int(ds["Rows"]) == 16
+    np.testing.assert_array_equal(pixel_array(ds), vol[:, :, 0])
+    assert ds["ImagePositionPatient"] == [-10.0, -20.0, 5.0]
+
+
+def test_load_series_volume_and_affine(dicom_case):
+    case, vol = dicom_case
+    files = sorted(str(case / f) for f in os.listdir(case) if f.startswith("IMG"))
+    volume, affine = convert.load_series(files)
+    np.testing.assert_array_equal(volume, vol.astype(np.float32))
+    # voxel (r, c, k) -> RAS world; LPS IPP (-10,-20,5) -> RAS (10, 20, 5)
+    origin = affine @ np.array([0, 0, 0, 1.0])
+    np.testing.assert_allclose(origin[:3], [10.0, 20.0, 5.0])
+    # +1 row (axis 0) moves along LPS +y = RAS -y
+    step_r = (affine @ np.array([1, 0, 0, 1.0]))[:3] - origin[:3]
+    np.testing.assert_allclose(step_r, [0.0, -1.0, 0.0], atol=1e-9)
+    step_k = (affine @ np.array([0, 0, 1, 1.0]))[:3] - origin[:3]
+    np.testing.assert_allclose(step_k, [0.0, 0.0, 2.0], atol=1e-9)
+
+
+def test_convert_case_with_rtstruct(dicom_case, tmp_path):
+    case, vol = dicom_case
+    out = convert.convert_case(str(case), str(tmp_path / "out"), dataset="T1")
+    assert set(out) == {"image", "label"}
+    from vs_seg_tpu.data import nifti
+    seg = nifti.load(out["label"], dtype=None)
+    assert seg.data.shape == (16, 16, 4)
+    # circle radius 3 on slice 1 -> ~pi*9 = 28 voxels, centered at (8, 8)
+    k_counts = [int(seg.data[:, :, k].sum()) for k in range(4)]
+    assert k_counts[1] > 20 and sum(k_counts) == k_counts[1]
+    assert seg.data[8, 8, 1] == 1
+    assert seg.data[8, 12, 1] == 0  # outside radius 3
+
+
+def test_rasterize_xor_hole():
+    # outer square with inner square -> ring (even-odd rule)
+    affine = np.eye(4)
+    outer = np.array([[0.5, 0.5, 0], [10.5, 0.5, 0], [10.5, 10.5, 0], [0.5, 10.5, 0]])
+    inner = np.array([[3.5, 3.5, 0], [7.5, 3.5, 0], [7.5, 7.5, 0], [3.5, 7.5, 0]])
+    flip = np.diag([-1.0, -1.0, 1.0])
+    outer_lps = (flip @ outer.T).T
+    inner_lps = (flip @ inner.T).T
+    seg = convert.rasterize_contours([outer_lps, inner_lps], affine, (12, 12, 1))
+    assert seg[5, 5, 0] == 0  # hole
+    assert seg[2, 5, 0] == 1  # ring

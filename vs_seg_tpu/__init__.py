@@ -17,3 +17,17 @@ Layer map (mirrors reference layers, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: compiles on this platform go through a
+# remote compile service with minutes-scale latency, so caching across
+# processes is load-bearing for iteration speed.
+import os as _os
+
+import jax as _jax
+
+_cache_dir = _os.environ.get("VS_SEG_JAX_CACHE", "/root/.cache/jax_vs_seg")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

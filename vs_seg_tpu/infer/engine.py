@@ -28,6 +28,7 @@ def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
     the sliding-window jit caches one executable per padded shape."""
     variables = {"params": params, "batch_stats": batch_stats}
 
+    @jax.jit
     def predictor(wins):
         out = model.apply(variables, wins.astype(dtype), train=False)
         logits = out[0] if isinstance(out, tuple) else out

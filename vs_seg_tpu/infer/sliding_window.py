@@ -95,51 +95,45 @@ def _pad_to_roi(volume: np.ndarray, roi_size) -> Tuple[np.ndarray, list]:
     return volume, crops
 
 
-@partial(jax.jit, static_argnames=("predictor", "roi_size", "sw_batch_size",
-                                   "out_channels"))
-def _sliding_window_jit(volume, starts, mask, importance, *, predictor,
-                        roi_size, sw_batch_size, out_channels):
-    """volume (H,W,D,C); starts (n_pad, 3) int32; mask (n_pad,) f32.
+@partial(jax.jit, static_argnames=("roi_size",))
+def _gather_windows(volume, starts, *, roi_size):
+    """volume (H,W,D,C), starts (sb,3) -> (sb, *roi, C)."""
+    c = volume.shape[-1]
 
-    n_pad is a multiple of sw_batch_size; masked (duplicate-padded) windows
-    contribute zero weight.
-    """
-    H, W, D, C = volume.shape
-    n_pad = starts.shape[0]
-    n_batches = n_pad // sw_batch_size
-    starts_b = starts.reshape(n_batches, sw_batch_size, 3)
-    mask_b = mask.reshape(n_batches, sw_batch_size)
-
-    out_acc = jnp.zeros((H, W, D, out_channels), jnp.float32)
-    w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
-
-    def gather_window(start):
+    def one(start):
         return jax.lax.dynamic_slice(volume, (start[0], start[1], start[2], 0),
-                                     (*roi_size, C))
+                                     (*roi_size, c))
 
-    def body(carry, inputs):
+    return jax.vmap(one)(starts)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_accumulate(out_acc, w_acc, preds, starts, mask, importance):
+    """Accumulate pred*imp into out_acc and imp into w_acc at each window.
+
+    out_acc (H,W,D,O), w_acc (H,W,D,1), preds (sb,*roi,O), starts (sb,3),
+    mask (sb,). Donated accumulators -> true in-place HBM updates.
+    """
+    roi_o = preds.shape[1:]
+    roi_w = (*preds.shape[1:4], 1)
+    imp = importance[None, ..., None] * mask[:, None, None, None, None]
+    weighted = preds.astype(jnp.float32) * imp
+
+    def body(i, carry):
         out_acc, w_acc = carry
-        batch_starts, batch_mask = inputs
-        wins = jax.vmap(gather_window)(batch_starts)            # (sb, *roi, C)
-        preds = predictor(wins).astype(jnp.float32)             # (sb, *roi, O)
-        imp = importance[None, ..., None] * batch_mask[:, None, None, None, None]
-        weighted = preds * imp
+        s = starts[i]
+        idx = (s[0], s[1], s[2], 0)
+        cur = jax.lax.dynamic_slice(out_acc, idx, roi_o)
+        out_acc = jax.lax.dynamic_update_slice(out_acc, cur + weighted[i], idx)
+        cur_w = jax.lax.dynamic_slice(w_acc, idx, roi_w)
+        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + imp[i], idx)
+        return out_acc, w_acc
 
-        def scatter(i, carry):
-            out_acc, w_acc = carry
-            s = batch_starts[i]
-            idx = (s[0], s[1], s[2], 0)
-            cur_out = jax.lax.dynamic_slice(out_acc, idx, (*roi_size, out_channels))
-            out_acc = jax.lax.dynamic_update_slice(out_acc, cur_out + weighted[i], idx)
-            cur_w = jax.lax.dynamic_slice(w_acc, idx, (*roi_size, 1))
-            w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + imp[i], idx)
-            return out_acc, w_acc
+    return jax.lax.fori_loop(0, preds.shape[0], body, (out_acc, w_acc))
 
-        carry = jax.lax.fori_loop(0, sw_batch_size, scatter, (out_acc, w_acc))
-        return carry, None
 
-    (out_acc, w_acc), _ = jax.lax.scan(body, (out_acc, w_acc),
-                                       (starts_b, mask_b))
+@jax.jit
+def _finalize(out_acc, w_acc):
     return out_acc / w_acc
 
 
@@ -184,9 +178,21 @@ def sliding_window_inference(volume: np.ndarray, roi_size: Sequence[int],
                                                 jnp.float32))
     out_channels = int(probe.shape[-1])
 
-    blended = _sliding_window_jit(
-        jnp.asarray(padded), jnp.asarray(starts_padded), jnp.asarray(mask),
-        jnp.asarray(importance), predictor=predictor, roi_size=roi_size,
-        sw_batch_size=sw_batch_size, out_channels=out_channels)
+    # Pipelined dispatch: gather / predict / scatter are separate small jits
+    # (the predictor executable is reused across every volume shape); the
+    # Python loop enqueues all steps asynchronously so the device never idles.
+    vol_dev = jnp.asarray(padded)
+    imp_dev = jnp.asarray(importance)
+    H, W, D = padded.shape[:3]
+    out_acc = jnp.zeros((H, W, D, out_channels), jnp.float32)
+    w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
+    for b in range(n_pad // sw_batch_size):
+        sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
+        batch_starts = jnp.asarray(starts_padded[sl])
+        wins = _gather_windows(vol_dev, batch_starts, roi_size=roi_size)
+        preds = predictor(wins)
+        out_acc, w_acc = _scatter_accumulate(
+            out_acc, w_acc, preds, batch_starts, jnp.asarray(mask[sl]), imp_dev)
+    blended = _finalize(out_acc, w_acc)
     (h0, h1), (w0, w1), (d0, d1) = crops
     return blended[h0:h1, w0:w1, d0:d1, :]

@@ -47,14 +47,17 @@ def same_padding(kernel_size, dilation=1) -> Shape3:
 def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            strides: Shape3, padding: Sequence[Tuple[int, int]],
            dtype=jnp.bfloat16, lhs_dilation: Optional[Shape3] = None) -> jnp.ndarray:
-    """3D conv, bf16 inputs + f32 accumulation (MXU-friendly)."""
+    """3D conv in `dtype` (bf16 feeds the MXU, which accumulates f32
+    internally), result upcast to f32 for the norm/activation epilogue."""
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=strides, padding=list(padding),
         lhs_dilation=lhs_dilation,
         dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        precision=precision,
     )
+    y = y.astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y

@@ -45,10 +45,26 @@ def make_optimizer(learning_rate: float, weight_decay: float):
         ))(learning_rate=learning_rate)
 
 
-def init_model(model, rng, input_shape) -> Dict[str, Any]:
+def minimal_input_shape(model, in_channels: int = 1):
+    """Smallest spatial shape the model accepts (product of per-dim strides).
+
+    Parameter shapes are independent of spatial extent, so initializing at
+    this size avoids tracing/compiling the full-volume forward just to get
+    params (eager flax init at 384x384x64 costs minutes on TPU).
+    """
+    import numpy as np
+    strides = np.asarray([list(s) for s in model.strides])
+    dims = tuple(int(v) for v in np.prod(strides, axis=0))
+    return (1, *dims, in_channels)
+
+
+def init_model(model, rng, input_shape=None) -> Dict[str, Any]:
     p_key, d_key = jax.random.split(jax.random.key(rng) if isinstance(rng, int) else rng)
-    return model.init({"params": p_key, "dropout": d_key},
-                      jnp.zeros(input_shape, jnp.float32), train=False)
+    if input_shape is None:
+        input_shape = minimal_input_shape(model)
+    return jax.jit(model.init, static_argnames=("train",))(
+        {"params": p_key, "dropout": d_key},
+        jnp.zeros(input_shape, jnp.float32), train=False)
 
 
 def make_train_step(model, optimizer, *, supervised_attention: bool,
@@ -122,9 +138,7 @@ class Trainer:
 
     def init_state(self, seed: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
-        shape = (1, *cfg.pad_crop_shape, cfg.in_channels)
-        variables = init_model(self.model, seed if seed is not None else cfg.seed,
-                               shape)
+        variables = init_model(self.model, seed if seed is not None else cfg.seed)
         params = variables["params"]
         return {
             "params": params,
