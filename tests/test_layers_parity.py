@@ -16,7 +16,7 @@ from vs_seg_tpu.nn.layers import BatchNorm, Conv3d, ConvTranspose3d, PReLU, same
 
 
 def to_ndhwc(x_torch):
-    return jnp.asarray(x_torch.detach().numpy().transpose(0, 2, 3, 4, 1))
+    return jnp.asarray(x_torch.detach().numpy().transpose(0, 4, 2, 3, 1))
 
 
 def from_conv_weight(w_torch):
@@ -39,7 +39,7 @@ def test_conv3d_matches_torch(kernel, stride, rng):
     tconv = torch.nn.Conv3d(3, 5, kernel, stride=stride,
                             padding=same_padding(kernel))
     x = torch.randn(2, 3, 12, 12, 8)
-    ref = tconv(x).detach().numpy().transpose(0, 2, 3, 4, 1)
+    ref = tconv(x).detach().numpy().transpose(0, 4, 2, 3, 1)
 
     mod = Conv3d(5, kernel, stride, dtype=jnp.float32)
     params = {"params": {"kernel": from_conv_weight(tconv.weight),
@@ -62,8 +62,9 @@ def test_conv_transpose3d_matches_torch(kernel, stride, rng):
                                      padding=tuple(int(v) for v in p),
                                      output_padding=output_padding)
     x = torch.randn(2, 4, 6, 6, 5)
-    ref = tconv(x).detach().numpy().transpose(0, 2, 3, 4, 1)
-    assert ref.shape[1:4] == tuple(np.array([6, 6, 5]) * s)  # exact upsample
+    ref = tconv(x).detach().numpy().transpose(0, 4, 2, 3, 1)
+    # exact upsample: (D, H, W) = input * stride
+    assert ref.shape[1:4] == (5 * s[2], 6 * s[0], 6 * s[1])
 
     mod = ConvTranspose3d(3, kernel, stride, dtype=jnp.float32)
     params = {"params": {"kernel": from_convt_weight(tconv.weight),
@@ -90,13 +91,13 @@ def test_batchnorm_train_and_eval_match_torch(rng):
 
     # eval mode: use running stats
     tbn.eval()
-    ref_eval = tbn(x).detach().numpy().transpose(0, 2, 3, 4, 1)
+    ref_eval = tbn(x).detach().numpy().transpose(0, 4, 2, 3, 1)
     out_eval = mod.apply(params, to_ndhwc(x), train=False)
     np.testing.assert_allclose(np.asarray(out_eval), ref_eval, atol=1e-5, rtol=1e-5)
 
     # train mode: normalize with batch stats, update running stats
     tbn.train()
-    ref_train = tbn(x).detach().numpy().transpose(0, 2, 3, 4, 1)
+    ref_train = tbn(x).detach().numpy().transpose(0, 4, 2, 3, 1)
     out_train, mutated = mod.apply(params, to_ndhwc(x), train=True,
                                    mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out_train), ref_train, atol=1e-4, rtol=1e-4)
@@ -147,7 +148,7 @@ def test_convolution_block_matches_torch_eval(rng):
     tmod = TorchMonaiConvolution(2, 6, (3, 3, 1), (2, 2, 1))
     tmod.eval()
     x = torch.randn(1, 2, 10, 10, 6)
-    ref = tmod(x).detach().numpy().transpose(0, 2, 3, 4, 1)
+    ref = tmod(x).detach().numpy().transpose(0, 4, 2, 3, 1)
     mod = Convolution(6, (3, 3, 1), (2, 2, 1), dropout=0.1, dtype=jnp.float32)
     out = mod.apply(_convolution_params(tmod), to_ndhwc(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
@@ -181,7 +182,7 @@ def test_residual_unit_matches_torch_eval(rng):
     tmod = TorchResidualUnit(3, 8, (3, 3, 3), subunits=2)
     tmod.eval()
     x = torch.randn(1, 3, 8, 8, 6)
-    ref = tmod(x).detach().numpy().transpose(0, 2, 3, 4, 1)
+    ref = tmod(x).detach().numpy().transpose(0, 4, 2, 3, 1)
 
     params = {"params": {}, "batch_stats": {}}
     for su in range(2):

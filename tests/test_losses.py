@@ -41,7 +41,7 @@ def torch_dice(inp, tgt, *, include_background=True, to_onehot_y=False,
 
 
 def to_last(t):
-    return jnp.asarray(t.numpy().transpose(0, 2, 3, 4, 1).copy())
+    return jnp.asarray(t.numpy().transpose(0, 4, 2, 3, 1).copy())
 
 
 @pytest.mark.parametrize("kwargs", [

@@ -18,14 +18,15 @@ SMALL = dict(
 def test_model_shapes_and_attmap_pyramid():
     model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
                           attention_module=True, dtype=jnp.float32, **SMALL)
-    x = jnp.zeros((1, 16, 16, 8, 1))
+    x = jnp.zeros((1, 8, 16, 16, 1))  # (B, D, H, W, C)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                            x, train=False)
     logits, att_maps = model.apply(variables, x, train=False)
-    assert logits.shape == (1, 16, 16, 8, 2)
+    assert logits.shape == (1, 8, 16, 16, 2)
     assert len(att_maps) == len(SMALL["channels"])
-    # coarsest -> finest, each a single-channel map
-    expected = [(1, 2, 2, 2, 1), (1, 4, 4, 4, 1), (1, 8, 8, 8, 1), (1, 16, 16, 8, 1)]
+    # coarsest -> finest, each a single-channel (B, D, H, W, 1) map;
+    # strides (2,2,1),(2,2,2),(2,2,2) in (H,W,D) order
+    expected = [(1, 2, 2, 2, 1), (1, 4, 4, 4, 1), (1, 8, 8, 8, 1), (1, 8, 16, 16, 1)]
     assert [tuple(a.shape) for a in att_maps] == expected
 
 
@@ -48,16 +49,16 @@ def test_model_matches_torch_replica_eval():
     model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
                           attention_module=True, dtype=jnp.float32, **SMALL)
     variables = {"params": params, "batch_stats": stats}
-    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1).copy())
+    xj = jnp.asarray(x.numpy().transpose(0, 4, 2, 3, 1).copy())
     logits, att_maps = model.apply(variables, xj, train=False)
 
     np.testing.assert_allclose(
-        np.asarray(logits), ref_logits.numpy().transpose(0, 2, 3, 4, 1),
+        np.asarray(logits), ref_logits.numpy().transpose(0, 4, 2, 3, 1),
         atol=5e-4, rtol=1e-3)
     assert len(att_maps) == len(ref_atts)
     for ours, ref in zip(att_maps, ref_atts):
         np.testing.assert_allclose(
-            np.asarray(ours), ref.numpy().transpose(0, 2, 3, 4, 1),
+            np.asarray(ours), ref.numpy().transpose(0, 4, 2, 3, 1),
             atol=5e-4, rtol=1e-3)
 
 
@@ -70,7 +71,7 @@ def test_converted_tree_structure_matches_init():
                                          channels=SMALL["channels"])
     model = UNet2d5_spvPA(out_channels=2, dtype=jnp.float32, **SMALL)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
-                           jnp.zeros((1, 16, 16, 8, 1)), train=False)
+                           jnp.zeros((1, 8, 16, 16, 1)), train=False)
 
     def paths(tree):
         return {jax.tree_util.keystr(p): v.shape
@@ -83,9 +84,9 @@ def test_converted_tree_structure_matches_init():
 def test_no_attention_variant():
     model = UNet2d5_spvPA(out_channels=2, attention_module=False,
                           dtype=jnp.float32, **SMALL)
-    x = jnp.zeros((1, 16, 16, 8, 1))
+    x = jnp.zeros((1, 8, 16, 16, 1))
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                            x, train=False)
     logits, att_maps = model.apply(variables, x, train=False)
-    assert logits.shape == (1, 16, 16, 8, 2)
+    assert logits.shape == (1, 8, 16, 16, 2)
     assert att_maps == ()

