@@ -51,8 +51,9 @@ def main():
     def run():
         out = sliding_window_inference(volume, ROI, predictor, overlap=0.25,
                                        sw_batch_size=2, mode="gaussian")
-        out.block_until_ready()
-        return out
+        # NOTE: block_until_ready is not a reliable sync on all platforms
+        # (remote-tunneled TPU); force completion via a scalar readback.
+        return float(jnp.sum(out[..., 0]))
 
     for _ in range(WARMUP):
         run()

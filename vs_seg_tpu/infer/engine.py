@@ -70,7 +70,8 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         dice_scores[i] = dice
         logger.info("dice_score = %s", dice)
 
-        pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1))
+        # argmax on device, transfer as uint8 (4x less D2H traffic than int32)
+        pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1).astype(jnp.uint8))
 
         if export:
             logger.info("export to nifti...")
