@@ -46,20 +46,26 @@ def main():
                                dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    volume = rng.normal(size=(*VOLUME_SHAPE, 1)).astype(np.float32)
+    volumes = [rng.normal(size=(*VOLUME_SHAPE, 1)).astype(np.float32)
+               for _ in range(ITERS)]
 
-    def run():
-        out = sliding_window_inference(volume, ROI, predictor, overlap=0.25,
-                                       sw_batch_size=2, mode="gaussian")
-        # NOTE: block_until_ready is not a reliable sync on all platforms
-        # (remote-tunneled TPU); force completion via a scalar readback.
-        return float(jnp.sum(out[..., 0]))
+    def run(vol):
+        return sliding_window_inference(vol, ROI, predictor, overlap=0.25,
+                                        sw_batch_size=2, mode="gaussian",
+                                        transfer_dtype=jnp.bfloat16)
 
+    # warmup (compile); sync via scalar readback — block_until_ready is not a
+    # reliable sync on remote-tunneled platforms.
     for _ in range(WARMUP):
-        run()
+        float(jnp.sum(run(volumes[0])[..., 0]))
+
+    # Throughput over distinct volumes with async dispatch: H2D of volume i+1
+    # overlaps with compute of volume i (device_put is asynchronous); one sync
+    # at the end.
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        run()
+    outs = [run(v) for v in volumes]
+    for o in outs:
+        float(jnp.sum(o[..., 0]))
     dt = (time.perf_counter() - t0) / ITERS
 
     vps = 1.0 / dt

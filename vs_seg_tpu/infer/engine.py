@@ -61,7 +61,8 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         outputs = sliding_window_inference(
             image, cfg.sliding_window_inferer_roi_size, predictor,
             overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
-            mode="gaussian")
+            mode="gaussian",
+            transfer_dtype=dtype if dtype != jnp.float32 else None)
         outputs.block_until_ready()
         times.append(time.perf_counter() - t0)
 

@@ -33,6 +33,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@lru_cache(maxsize=8)
+def _importance_map_device(roi_size: Tuple[int, ...], mode: str,
+                           sigma_scale: float) -> jnp.ndarray:
+    """Device-resident importance map, cached across volumes (it is ~38MB for
+    a 384x384x64 ROI — re-uploading per volume dominates H2D on slow links)."""
+    if mode == "gaussian":
+        imp = gaussian_importance_map(roi_size, sigma_scale)
+    elif mode == "constant":
+        imp = np.ones(roi_size, np.float32)
+    else:
+        raise ValueError(f"unsupported blend mode {mode}")
+    return jnp.asarray(imp)
+
+
 def gaussian_importance_map(roi_size: Sequence[int],
                             sigma_scale: float = 0.125) -> np.ndarray:
     """MONAI 0.4 compute_importance_map(mode=gaussian) equivalent.
@@ -141,17 +155,22 @@ def sliding_window_inference(volume: np.ndarray, roi_size: Sequence[int],
                              predictor: Callable, *, overlap: float = 0.25,
                              sw_batch_size: int = 4, mode: str = "gaussian",
                              sigma_scale: float = 0.125,
-                             bucket: Optional[Sequence[int]] = None) -> jnp.ndarray:
+                             bucket: Optional[Sequence[int]] = None,
+                             transfer_dtype=None) -> jnp.ndarray:
     """Run `predictor` over overlapping ROIs of a whole volume and blend.
 
     volume: (H, W, D, C) host array (single case; batch over cases at a higher
     level). predictor: (N, *roi, C) -> (N, *roi, out_channels), jit-traceable.
     bucket: optional per-dim multiples to round padded shapes up to, bounding
     recompilation across heterogeneous volumes (at slightly more compute).
+    transfer_dtype: dtype for the host->device volume transfer (e.g. bfloat16
+    when the predictor computes in bf16 anyway — halves H2D bytes).
     Returns (H, W, D, out_channels) blended logits on device.
     """
     volume = np.asarray(volume, dtype=np.float32)
     assert volume.ndim == 4, "expected (H, W, D, C)"
+    if transfer_dtype is not None:
+        volume = volume.astype(transfer_dtype)
     roi_size = tuple(int(r) for r in roi_size)
     padded, crops = _pad_to_roi(volume, roi_size)
     if bucket is not None:
@@ -166,33 +185,28 @@ def sliding_window_inference(volume: np.ndarray, roi_size: Sequence[int],
     starts_padded = np.zeros((n_pad, 3), np.int32)
     starts_padded[:n] = starts
 
-    if mode == "gaussian":
-        importance = gaussian_importance_map(roi_size, sigma_scale)
-    elif mode == "constant":
-        importance = np.ones(roi_size, np.float32)
-    else:
-        raise ValueError(f"unsupported blend mode {mode}")
-
-    probe = jax.eval_shape(predictor,
-                           jax.ShapeDtypeStruct((1, *roi_size, volume.shape[-1]),
-                                                jnp.float32))
-    out_channels = int(probe.shape[-1])
-
     # Pipelined dispatch: gather / predict / scatter are separate small jits
     # (the predictor executable is reused across every volume shape); the
     # Python loop enqueues all steps asynchronously so the device never idles.
-    vol_dev = jnp.asarray(padded)
-    imp_dev = jnp.asarray(importance)
+    # NOTE: output channel count comes from the first predicted batch — do NOT
+    # use jax.eval_shape on the predictor here, it re-traces the whole model
+    # on every call (seconds of host time per volume). The importance map is
+    # device-cached across volumes; the volume upload uses jax.device_put
+    # (async) so H2D overlaps with dispatch.
+    vol_dev = jax.device_put(padded)
+    imp_dev = _importance_map_device(roi_size, mode, sigma_scale)
     H, W, D = padded.shape[:3]
-    out_acc = jnp.zeros((H, W, D, out_channels), jnp.float32)
-    w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
+    out_acc = w_acc = None
     for b in range(n_pad // sw_batch_size):
         sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
-        batch_starts = jnp.asarray(starts_padded[sl])
+        batch_starts = jax.device_put(starts_padded[sl])
         wins = _gather_windows(vol_dev, batch_starts, roi_size=roi_size)
         preds = predictor(wins)
+        if out_acc is None:
+            out_acc = jnp.zeros((H, W, D, preds.shape[-1]), jnp.float32)
+            w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
         out_acc, w_acc = _scatter_accumulate(
-            out_acc, w_acc, preds, batch_starts, jnp.asarray(mask[sl]), imp_dev)
+            out_acc, w_acc, preds, batch_starts, jax.device_put(mask[sl]), imp_dev)
     blended = _finalize(out_acc, w_acc)
     (h0, h1), (w0, w1), (d0, d1) = crops
     return blended[h0:h1, w0:w1, d0:d1, :]
