@@ -145,3 +145,17 @@ def test_rasterize_xor_hole():
     seg = convert.rasterize_contours([outer_lps, inner_lps], affine, (12, 12, 1))
     assert seg[5, 5, 0] == 0  # hole
     assert seg[2, 5, 0] == 1  # ring
+
+
+def test_build_bids_dataset(dicom_case, tmp_path):
+    from vs_seg_tpu.preprocessing.bids import build_bids_dataset
+    case, vol = dicom_case
+    out = str(tmp_path / "bids")
+    written = build_bids_dataset([str(case)], out, dataset="T1")
+    assert len(written) == 1
+    assert os.path.exists(os.path.join(out, "dataset_description.json"))
+    assert os.path.exists(os.path.join(out, "participants.tsv"))
+    assert os.path.exists(written[0].replace(".nii.gz", ".json"))
+    seg_dir = os.path.join(out, "derivatives", "manual_segmentations",
+                           "sub-001", "ses-preop", "anat")
+    assert os.listdir(seg_dir)

@@ -159,6 +159,20 @@ class Trainer:
             ) -> Tuple[Dict[str, Any], list, list]:
         cfg, logger = self.cfg, self.logger
         logger.info("Running the training loop...")
+
+        # debug-mode TB image grid of center-of-mass slices
+        # (reference params/VSparams.py:417-426)
+        if cfg.debug and self.tb_writer is not None:
+            from vs_seg_tpu.core.observability import make_image_grid
+            from vs_seg_tpu.eval.metrics import center_of_mass_slice
+            images_for_grid = []
+            for batch_data in train_loader:
+                for image, label in zip(batch_data["image"], batch_data["label"]):
+                    s = center_of_mass_slice(np.squeeze(label[0]))
+                    images_for_grid.append(image[0, :, :, s])
+                    images_for_grid.append(label[0, :, :, s])
+            grid = make_image_grid(images_for_grid)
+            self.tb_writer.add_image("images", grid[None], 0)
         params, batch_stats = state["params"], state["batch_stats"]
         opt_state = state["opt_state"]
         rng = jax.random.wrap_key_data(state["rng"])
