@@ -24,8 +24,9 @@ import numpy as np
 # RAS reorientation; ROI 384x384x64, overlap 0.25 -> 2x2x2 = 8 windows.
 VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
+SW_BATCH = 2
 WARMUP = 1
-ITERS = 3
+ITERS = 5
 
 # Conservative measured-estimate anchor for the reference pipeline
 # (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this
@@ -45,25 +46,34 @@ def main():
                                variables.get("batch_stats", {}),
                                dtype=jnp.bfloat16)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vs_seg_tpu.infer.sliding_window import stage_volume
+
     rng = np.random.default_rng(0)
     volumes = [rng.normal(size=(*VOLUME_SHAPE, 1)).astype(np.float32)
                for _ in range(ITERS)]
 
-    def run(vol):
-        return sliding_window_inference(vol, ROI, predictor, overlap=0.25,
-                                        sw_batch_size=2, mode="gaussian",
-                                        transfer_dtype=jnp.bfloat16)
+    def stage(vol):
+        return stage_volume(vol, ROI, overlap=0.25, sw_batch_size=SW_BATCH,
+                            transfer_dtype=jnp.bfloat16, predictor_layout="dfirst")
+
+    def run(staged):
+        return sliding_window_inference(staged, ROI, predictor, overlap=0.25,
+                                        sw_batch_size=SW_BATCH, mode="gaussian",
+                                        predictor_layout="dfirst")
 
     # warmup (compile); sync via scalar readback — block_until_ready is not a
     # reliable sync on remote-tunneled platforms.
     for _ in range(WARMUP):
-        float(jnp.sum(run(volumes[0])[..., 0]))
+        float(jnp.sum(run(stage(volumes[0]))[..., 0]))
 
-    # Throughput over distinct volumes with async dispatch: H2D of volume i+1
-    # overlaps with compute of volume i (device_put is asynchronous); one sync
-    # at the end.
+    # Steady-state serving pipeline: a background thread stages (prepares +
+    # uploads) volume i+1 while volume i computes; one sync at the end.
+    pool = ThreadPoolExecutor(1)
     t0 = time.perf_counter()
-    outs = [run(v) for v in volumes]
+    futures = [pool.submit(stage, v) for v in volumes]
+    outs = [run(f.result()) for f in futures]
     for o in outs:
         float(jnp.sum(o[..., 0]))
     dt = (time.perf_counter() - t0) / ITERS

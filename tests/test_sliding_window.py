@@ -109,3 +109,21 @@ def test_bucketing_keeps_shape(rng):
     out = sliding_window_inference(volume, (8, 8, 8), _toy_predictor,
                                    bucket=(16, 16, 16))
     assert out.shape == (21, 13, 11, 2)
+
+
+def test_dfirst_layout_equivalence(rng):
+    """D-first internal engine must match the HWDC path exactly."""
+    volume = rng.normal(size=(20, 14, 12, 1)).astype(np.float32)
+    roi = (8, 8, 8)
+    ref = sliding_window_inference(volume, roi, _toy_predictor,
+                                   sw_batch_size=3)
+
+    def toy_dfirst(wins):
+        # wins (N, D, H, W, C) -> run the HWDC toy on the transposed view
+        w = jnp.transpose(wins, (0, 2, 3, 1, 4))
+        return jnp.transpose(_toy_predictor(w), (0, 3, 1, 2, 4))
+
+    out = sliding_window_inference(volume, roi, toy_dfirst, sw_batch_size=3,
+                                   predictor_layout="dfirst")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -30,11 +30,10 @@ def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
 
     @jax.jit
     def predictor(wins):
-        # sliding-window tiles are (N, H, W, D, C); the model runs (N, D, H, W, C)
-        x = jnp.transpose(wins.astype(dtype), (0, 3, 1, 2, 4))
-        out = model.apply(variables, x, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        return jnp.transpose(logits, (0, 2, 3, 1, 4))
+        # the sliding-window engine runs D-first internally, matching the
+        # model's (N, D, H, W, C) layout — no per-batch transposes
+        out = model.apply(variables, wins.astype(dtype), train=False)
+        return out[0] if isinstance(out, tuple) else out
 
     return predictor
 
@@ -61,7 +60,7 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         outputs = sliding_window_inference(
             image, cfg.sliding_window_inferer_roi_size, predictor,
             overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
-            mode="gaussian",
+            mode="gaussian", predictor_layout="dfirst",
             transfer_dtype=dtype if dtype != jnp.float32 else None)
         outputs.block_until_ready()
         times.append(time.perf_counter() - t0)
