@@ -26,7 +26,7 @@ VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
 SW_BATCH = 2
 WARMUP = 1
-ITERS = 5
+ITERS = 8
 
 # Conservative measured-estimate anchor for the reference pipeline
 # (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this

@@ -231,7 +231,8 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
                              sigma_scale: float = 0.125,
                              bucket: Optional[Sequence[int]] = None,
                              transfer_dtype=None, quantize: bool = False,
-                             predictor_layout: str = "hwdc") -> jnp.ndarray:
+                             predictor_layout: str = "hwdc",
+                             use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Run `predictor` over overlapping ROIs of a whole volume and blend.
 
     volume: (H, W, D, C) host array, or a `StagedVolume` from `stage_volume`
@@ -265,8 +266,18 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
         scale, offset = staged.dequant
         vol_dev = _dequantize(vol_dev, jnp.asarray(scale), jnp.asarray(offset))
     imp_dev = _importance_map_device(roi_size, mode, sigma_scale)
-    H, W, D = vol_dev.shape[:3]
+    s0, s1, s2 = vol_dev.shape[:3]  # padded volume dims (internal order)
     n_pad = staged.starts_padded.shape[0]
+
+    # Fused Pallas blend-scatter (ops/pallas_blend.py): one VMEM round trip
+    # for both accumulators, ~2.7x faster than the XLA dynamic-slice path on
+    # v5e. Preconditions: TPU backend, D-first layout, dim-1 window starts
+    # multiples of 8 (Mosaic sublane tiling).
+    if use_pallas is None:
+        use_pallas = (staged.dfirst
+                      and jax.devices()[0].platform == "tpu"
+                      and bool(np.all(staged.starts_padded[:, 1] % 8 == 0)))
+
     out_acc = w_acc = None
     for b in range(n_pad // sw_batch_size):
         sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
@@ -274,11 +285,20 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
         wins = _gather_windows(vol_dev, batch_starts, roi_size=roi_size)
         preds = predictor(wins)
         if out_acc is None:
-            out_acc = jnp.zeros((H, W, D, preds.shape[-1]), jnp.float32)
-            w_acc = jnp.zeros((H, W, D, 1), jnp.float32)
-        out_acc, w_acc = _scatter_accumulate(
-            out_acc, w_acc, preds, batch_starts,
-            jax.device_put(staged.mask[sl]), imp_dev)
+            oc = preds.shape[-1]
+            if use_pallas and (s2 * oc) % 128 != 0:
+                use_pallas = False  # lane-unaligned minor dim for the kernel
+            out_acc = jnp.zeros((s0, s1, s2, oc), jnp.float32)
+            w_acc = jnp.zeros((s0, s1, s2, 1), jnp.float32)
+        if use_pallas:
+            from vs_seg_tpu.ops.pallas_blend import pallas_blend_scatter
+            out_acc, w_acc = pallas_blend_scatter(
+                out_acc, w_acc, preds, batch_starts,
+                jax.device_put(staged.mask[sl]), imp_dev)
+        else:
+            out_acc, w_acc = _scatter_accumulate(
+                out_acc, w_acc, preds, batch_starts,
+                jax.device_put(staged.mask[sl]), imp_dev)
     blended = _finalize(out_acc, w_acc)
     (a0, a1), (b0, b1), (c0, c1) = staged.crops
     blended = blended[a0:a1, b0:b1, c0:c1, :]
