@@ -79,3 +79,41 @@ def test_shard_batch_places_on_all_devices(rng):
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_sliding_window_matches_single_device(rng):
+    from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+
+    def toy(wins):
+        a = wins * 2.0 + 1.0
+        b = jnp.cumsum(wins, axis=1) * 0.1
+        return jnp.concatenate([a, b], axis=-1)
+
+    volume = rng.normal(size=(20, 14, 12, 1)).astype(np.float32)
+    roi = (8, 8, 8)
+    ref = sliding_window_inference(volume, roi, toy, sw_batch_size=2)
+    mesh = make_mesh()
+    out = sliding_window_inference_sharded(volume, roi, toy, mesh,
+                                           sw_batch_size=1)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_sliding_window_dfirst(rng):
+    from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+
+    def toy_hwdc(wins):
+        return jnp.concatenate([wins * 3.0, wins - 1.0], axis=-1)
+
+    volume = rng.normal(size=(18, 13, 10, 1)).astype(np.float32)
+    roi = (8, 8, 8)
+    ref = sliding_window_inference(volume, roi, toy_hwdc, sw_batch_size=2)
+    mesh = make_mesh()
+    out = sliding_window_inference_sharded(
+        volume, roi, toy_hwdc, mesh, sw_batch_size=1,
+        predictor_layout="dfirst")  # elementwise toy is layout-agnostic
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
