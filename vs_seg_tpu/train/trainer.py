@@ -198,17 +198,20 @@ class Trainer:
                 cfg.lr_divisor ** (epoch // cfg.epochs_with_const_lr))
             opt_state = self._set_lr(opt_state, lr)
 
-            epoch_loss, step_count = 0.0, 0
+            step_losses, step_count = [], 0
             for batch in train_loader:
                 image, label = to_device_batch(batch, self.mesh)
                 params, batch_stats, opt_state, rng, loss = self.train_step(
                     params, batch_stats, opt_state, rng, image, label)
-                epoch_loss += float(loss)
+                # keep losses on device; syncing per step would serialize
+                # host dispatch with device compute
+                step_losses.append(loss)
                 step_count += 1
                 if epoch == start_epoch:
                     logger.info("%d/%d, train_loss: %.4f", step_count,
                                 len(train_loader), float(loss))
-            epoch_loss /= max(step_count, 1)
+            epoch_loss = (float(jnp.mean(jnp.stack(step_losses)))
+                          if step_losses else 0.0)
             epoch_loss_values.append(epoch_loss)
             logger.info("epoch %d average loss: %.4f", epoch + 1, epoch_loss)
 
