@@ -276,7 +276,9 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
     if use_pallas is None:
         use_pallas = (staged.dfirst
                       and jax.devices()[0].platform == "tpu"
-                      and bool(np.all(staged.starts_padded[:, 1] % 8 == 0)))
+                      and bool(np.all(staged.starts_padded[:, 1] % 8 == 0))
+                      # Mosaic tiling: ROI rows sublane-aligned, lanes 128-aligned
+                      and roi_size[1] % 8 == 0 and roi_size[2] % 128 == 0)
 
     out_acc = w_acc = None
     for b in range(n_pad // sw_batch_size):
