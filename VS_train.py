@@ -7,6 +7,7 @@ loaders -> model/loss/optimizer -> training loop -> loss/Dice curves.
 """
 
 import argparse
+import os
 
 from vs_seg_tpu.core import (add_reference_cli_flags, config_from_args,
                              create_results_folders, log_parameters,
@@ -59,7 +60,12 @@ def main(argv=None):
         logger.info("tensorboardX unavailable; skipping TB logging")
 
     trainer = Trainer(cfg, model, logger=logger, tb_writer=tb_writer)
-    state = trainer.init_state()
+    resume_path = os.path.join(cfg.model_path, "last_epoch_model.ckpt")
+    if getattr(cfg, "resume", False) and os.path.exists(resume_path):
+        logger.info("Resuming full training state from %s", resume_path)
+        state = trainer.restore_state(resume_path)
+    else:
+        state = trainer.init_state()
     state, epoch_loss_values, metric_values = trainer.fit(
         state, train_loader, val_loader)
 

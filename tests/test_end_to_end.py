@@ -110,3 +110,24 @@ def test_inference_with_export(e2e):
         cfg.figures_path, "best_model_output_dice_score_histogram.png"))
     assert os.path.exists(os.path.join(cfg.figures_path,
                                        "best_model_output_val0.png"))
+
+
+def test_resume_continues_training(e2e):
+    """True mid-training resume (the reference cannot do this, SURVEY.md §5)."""
+    import dataclasses
+    cfg, model, trainer, state, losses, _, _ = e2e
+    restored = trainer.restore_state(
+        os.path.join(cfg.model_path, "last_epoch_model.ckpt"))
+    cfg3 = dataclasses.replace(cfg, num_epochs=cfg.num_epochs + 1)
+    from vs_seg_tpu.train import Trainer
+    trainer3 = Trainer(cfg3, model)
+    from vs_seg_tpu.data.dataset import CacheDataset, DataLoader, load_split_csv
+    from vs_seg_tpu.data.transforms import get_transforms
+    train_files, val_files, _ = load_split_csv(cfg.split_csv, cfg.dataset,
+                                               cfg.data_root)
+    train_t, val_t, _ = get_transforms(cfg.pad_crop_shape)
+    train_loader = DataLoader(CacheDataset(train_files, train_t, 1), batch_size=1)
+    val_loader = DataLoader(CacheDataset(val_files, val_t, 1), batch_size=1)
+    state3, losses3, _ = trainer3.fit(restored, train_loader, val_loader)
+    assert len(losses3) == 1  # only the one new epoch ran
+    assert state3["epoch"] == cfg.num_epochs + 1

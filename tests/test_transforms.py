@@ -79,3 +79,19 @@ def test_loader_batching_and_shuffle(synthetic_root):
     # epochs differ (random crop/flip re-applied)
     b2 = list(loader)[0]
     assert not np.array_equal(batches[0]["image"], b2["image"])
+
+
+def test_spacing_transform(rng):
+    from vs_seg_tpu.data.transforms import Spacing
+    arr = rng.normal(size=(1, 20, 20, 10)).astype(np.float32)
+    lbl = (rng.random((1, 20, 20, 10)) > 0.5).astype(np.float32)
+    aff = np.diag([0.5, 0.5, 2.0, 1.0])
+    sample = {"image": arr, "label": lbl,
+              "image_meta": {"affine": aff.copy()},
+              "label_meta": {"affine": aff.copy()}}
+    out = Spacing((1.0, 1.0, 1.0))(sample)
+    assert out["image"].shape == (1, 10, 10, 20)
+    assert out["label"].shape == (1, 10, 10, 20)
+    assert set(np.unique(out["label"])) <= {0.0, 1.0}  # nearest for labels
+    new_zooms = np.sqrt((out["image_meta"]["affine"][:3, :3] ** 2).sum(axis=0))
+    np.testing.assert_allclose(new_zooms, [1.0, 1.0, 1.0], rtol=1e-6)

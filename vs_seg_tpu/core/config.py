@@ -65,6 +65,7 @@ class Config:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (num_devices,)
     mesh_axes: Tuple[str, ...] = ("data",)
     prefetch_depth: int = 2
+    resume: bool = False
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
     @property
@@ -129,6 +130,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--sw_batch_size", type=int, default=4,
                         help="sliding-window tiles evaluated per device step")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume full training state from "
+                             "last_epoch_model.ckpt (TPU extra; the reference "
+                             "has no mid-training restore)")
     return parser
 
 
@@ -147,6 +152,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         infer_dtype=getattr(args, "infer_dtype", "bfloat16"),
         sw_batch_size=getattr(args, "sw_batch_size", 4),
         seed=getattr(args, "seed", 0),
+        resume=getattr(args, "resume", False),
     )
 
 
