@@ -79,6 +79,7 @@ def make_train_step(model, optimizer, *, supervised_attention: bool,
                                hardness_weighting=hardness)
 
     def step(params, batch_stats, opt_state, rng, image, label):
+        label = label.astype(jnp.float32)  # may arrive uint8 (H2D-compact)
         rng, dropout_key = jax.random.split(rng)
 
         def loss_fn(p):
@@ -99,6 +100,7 @@ def make_eval_step(model, *, supervised_attention: bool, hardness: bool):
     """Jitted (params, batch_stats, image, label) -> (loss, dice)."""
 
     def step(params, batch_stats, image, label):
+        label = label.astype(jnp.float32)  # may arrive uint8 (H2D-compact)
         output = model.apply({"params": params, "batch_stats": batch_stats},
                              image, train=False)
         logits, atts = output if isinstance(output, tuple) else (output, ())
@@ -110,12 +112,21 @@ def make_eval_step(model, *, supervised_attention: bool, hardness: bool):
     return jax.jit(step)
 
 
-def to_device_batch(batch, mesh=None):
+def to_device_batch(batch, mesh=None, image_dtype=None):
     """(B, C, H, W, D) host batch -> (B, D, H, W, C) device arrays (the
     model's TPU-native layout, see nn/layers.py), sharded over the mesh data
-    axis when divisible (replicated otherwise)."""
+    axis when divisible (replicated otherwise).
+
+    H2D traffic reduction: images transfer in `image_dtype` (bf16 when the
+    model computes bf16 anyway); binary labels transfer as uint8 (lossless,
+    4x smaller) and are cast back to f32 on device by the step functions.
+    """
     image = np.ascontiguousarray(np.transpose(batch["image"], (0, 4, 2, 3, 1)))
     label = np.ascontiguousarray(np.transpose(batch["label"], (0, 4, 2, 3, 1)))
+    if image_dtype is not None:
+        image = image.astype(image_dtype)
+    if np.all(np.mod(label, 1) == 0) and label.min() >= 0 and label.max() < 256:
+        label = label.astype(np.uint8)
     if mesh is not None and image.shape[0] % mesh.devices.size == 0:
         sharding = batch_sharding(mesh, image.ndim)
         return (jax.device_put(image, sharding), jax.device_put(label, sharding))
@@ -136,6 +147,9 @@ class Trainer:
         self.eval_step = make_eval_step(
             model, supervised_attention=cfg.attention, hardness=cfg.hardness)
         self.tb_writer = tb_writer
+        import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+        self._transfer_dtype = (jnp.bfloat16
+                                if cfg.compute_dtype == "bfloat16" else None)
 
     def init_state(self, seed: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
@@ -200,7 +214,8 @@ class Trainer:
 
             step_losses, step_count = [], 0
             for batch in train_loader:
-                image, label = to_device_batch(batch, self.mesh)
+                image, label = to_device_batch(batch, self.mesh,
+                                                image_dtype=self._transfer_dtype)
                 params, batch_stats, opt_state, rng, loss = self.train_step(
                     params, batch_stats, opt_state, rng, image, label)
                 # keep losses on device; syncing per step would serialize
@@ -218,7 +233,8 @@ class Trainer:
             if (epoch + 1) % cfg.val_interval == 0:
                 metric_sum, metric_count, val_loss, val_steps = 0.0, 0, 0.0, 0
                 for val_batch in val_loader:
-                    image, label = to_device_batch(val_batch, self.mesh)
+                    image, label = to_device_batch(val_batch, self.mesh,
+                                                    image_dtype=self._transfer_dtype)
                     loss, dice = self.eval_step(params, batch_stats, image, label)
                     metric_sum += float(dice)
                     metric_count += 1
