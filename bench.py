@@ -26,8 +26,8 @@ VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
 SW_BATCH = 2
 WARMUP = 1
-ITERS = 4
-REPS = 3
+ITERS = 3
+REPS = 4
 
 # Conservative measured-estimate anchor for the reference pipeline
 # (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this
@@ -57,7 +57,7 @@ def main():
 
     def stage(vol):
         return stage_volume(vol, ROI, overlap=0.25, sw_batch_size=SW_BATCH,
-                            transfer_dtype=jnp.bfloat16, predictor_layout="dfirst")
+                            quantize=True, predictor_layout="dfirst")
 
     def run(staged):
         return sliding_window_inference(staged, ROI, predictor, overlap=0.25,
