@@ -90,3 +90,45 @@ def test_no_attention_variant():
     logits, att_maps = model.apply(variables, x, train=False)
     assert logits.shape == (1, 8, 16, 16, 2)
     assert att_maps == ()
+
+
+def test_converter_full_default_architecture(tmp_path):
+    """Full 6-level default config (reference params/VSparams.py:343-374):
+    converter tree must exactly match flax init, and the .pth file path in
+    VS_inference.load_model_state must work."""
+    torch.manual_seed(3)
+    full = dict(
+        channels=(16, 32, 48, 64, 80, 96),
+        strides=((2, 2, 1), (2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        sample_kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+    )
+    tmodel = TorchUNet2d5_spvPA(1, 2, full["channels"], full["strides"],
+                                full["kernel_sizes"], full["sample_kernel_sizes"],
+                                num_res_units=2, dropout=0.1, attention=True)
+    pth = str(tmp_path / "best_metric_model.pth")
+    torch.save(tmodel.state_dict(), pth)
+
+    from vs_seg_tpu.compat.torch_import import import_unet2d5_spvpa, load_pth
+    params, stats = import_unet2d5_spvpa(load_pth(pth))
+
+    from vs_seg_tpu.train.trainer import init_model
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
+                          attention_module=True, dtype=jnp.float32, **full)
+    variables = init_model(model, 0)
+
+    def paths(tree):
+        return {jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    assert paths(variables["params"]) == paths(params)
+    assert paths(variables["batch_stats"]) == paths(stats)
+    # param count sanity: must match the torch model exactly
+    n_torch = sum(v.numel() for v in tmodel.state_dict().values()
+                  if "running_" not in str(v.shape) or True) - \
+        sum(v.numel() for k, v in tmodel.state_dict().items()
+            if "running_" in k or "num_batches" in k)
+    import numpy as _np
+    n_ours = sum(_np.prod(v.shape) for v in
+                 jax.tree_util.tree_leaves(params))
+    assert int(n_ours) == int(n_torch)
