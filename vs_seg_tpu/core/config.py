@@ -66,6 +66,7 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     prefetch_depth: int = 2
     resume: bool = False
+    sharded_inference: bool = False  # windows data-parallel across the mesh
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
     @property
@@ -134,6 +135,9 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                         help="resume full training state from "
                              "last_epoch_model.ckpt (TPU extra; the reference "
                              "has no mid-training restore)")
+    parser.add_argument("--sharded_inference", action="store_true",
+                        help="shard each volume's sliding windows across all "
+                             "devices of the mesh (TPU extra)")
     return parser
 
 
@@ -153,6 +157,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         sw_batch_size=getattr(args, "sw_batch_size", 4),
         seed=getattr(args, "seed", 0),
         resume=getattr(args, "resume", False),
+        sharded_inference=getattr(args, "sharded_inference", False),
     )
 
 

@@ -41,13 +41,25 @@ def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
 def run_inference(cfg, model, params, batch_stats, test_loader,
                   logger: Optional[logging.Logger] = None,
                   export: Optional[bool] = None,
-                  make_figures: bool = True):
-    """Returns (dice_scores, wall_seconds_per_volume)."""
+                  make_figures: bool = True,
+                  mesh=None):
+    """Returns (dice_scores, wall_seconds_per_volume).
+
+    With `mesh` (or cfg.sharded_inference and >1 device), each volume's
+    windows run data-parallel across the mesh (infer/sharded.py).
+    """
     logger = logger or logging.getLogger()
     logger.info("Running inference...")
     export = cfg.export_inferred_segmentations if export is None else export
     dtype = jnp.bfloat16 if cfg.infer_dtype == "bfloat16" else jnp.float32
     predictor = make_predictor(model, params, batch_stats, dtype=dtype)
+
+    if mesh is None and getattr(cfg, "sharded_inference", False):
+        from vs_seg_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+        logger.info("sharded window inference over %d devices", mesh.devices.size)
 
     dice_scores = np.zeros(len(test_loader))
     times = []
@@ -57,11 +69,19 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         label = np.transpose(data["label"][0], (1, 2, 3, 0))
 
         t0 = time.perf_counter()
-        outputs = sliding_window_inference(
-            image, cfg.sliding_window_inferer_roi_size, predictor,
-            overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
-            mode="gaussian", predictor_layout="dfirst",
-            transfer_dtype=dtype if dtype != jnp.float32 else None)
+        if mesh is not None and mesh.devices.size > 1:
+            from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+            outputs = sliding_window_inference_sharded(
+                image, cfg.sliding_window_inferer_roi_size, predictor, mesh,
+                overlap=cfg.sw_overlap, sw_batch_size=1,
+                mode="gaussian", predictor_layout="dfirst",
+                transfer_dtype=dtype if dtype != jnp.float32 else None)
+        else:
+            outputs = sliding_window_inference(
+                image, cfg.sliding_window_inferer_roi_size, predictor,
+                overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
+                mode="gaussian", predictor_layout="dfirst",
+                transfer_dtype=dtype if dtype != jnp.float32 else None)
         outputs.block_until_ready()
         times.append(time.perf_counter() - t0)
 
