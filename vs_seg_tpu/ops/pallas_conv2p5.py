@@ -29,30 +29,50 @@ from vs_seg_tpu.ops.grouped_conv import build_block_toeplitz
 
 
 def _conv_kernel(x_ref, wb_ref, out_ref, xt_top, xt_body, xt_bot, sem, *,
-                 ht, ng, g, c, co, h_total):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    h0 = t * ht
+                 ht, ng, g, c, co, h_total, n_tiles):
+    # Linear grid with double-buffered tile DMAs: the fetch for step i+1 is
+    # issued before computing step i, hiding DMA latency behind the matmuls.
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
 
-    # x_ref is flattened to (B*H, NG, G*C): 4D mixed indexing miscompiles
-    # (see CLAUDE.md), so row offsets are linearized
-    base = b * h_total
-    top_off = base + jnp.maximum(h0 - 1, 0)
-    bot_off = base + jnp.minimum(h0 + ht, h_total - 1)
-    cp = [
-        pltpu.make_async_copy(x_ref.at[pl.ds(top_off, 1)], xt_top, sem.at[0]),
-        pltpu.make_async_copy(x_ref.at[pl.ds(base + h0, ht)], xt_body, sem.at[1]),
-        pltpu.make_async_copy(x_ref.at[pl.ds(bot_off, 1)], xt_bot, sem.at[2]),
-    ]
-    for cpi in cp:
-        cpi.start()
-    for cpi in cp:
+    def fetch(step, slot):
+        b = step // n_tiles
+        t = step % n_tiles
+        h0 = t * ht
+        base = b * h_total
+        # x_ref is flattened to (B*H, NG, G*C): 4D mixed indexing miscompiles
+        # (see CLAUDE.md), so row offsets are linearized
+        top_off = base + jnp.maximum(h0 - 1, 0)
+        bot_off = base + jnp.minimum(h0 + ht, h_total - 1)
+        return [
+            pltpu.make_async_copy(x_ref.at[pl.ds(top_off, 1)],
+                                  xt_top.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(base + h0, ht)],
+                                  xt_body.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(bot_off, 1)],
+                                  xt_bot.at[slot], sem.at[slot, 2]),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cpi in fetch(0, 0):
+            cpi.start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        for cpi in fetch(i + 1, (i + 1) % 2):
+            cpi.start()
+
+    slot = i % 2
+    for cpi in fetch(i, slot):
         cpi.wait()
 
+    t = i % n_tiles
+    h0 = t * ht
     zero = jnp.zeros((), xt_top.dtype)
-    top = jnp.where(t == 0, zero, xt_top[0])
-    bot = jnp.where(h0 + ht >= h_total, zero, xt_bot[0])
-    body = xt_body[...]
+    top = jnp.where(t == 0, zero, xt_top[slot, 0])
+    bot = jnp.where(h0 + ht >= h_total, zero, xt_bot[slot, 0])
+    body = xt_body[slot]
     xg = jnp.concatenate([top[None], body, bot[None]], axis=0)  # (ht+2, ng, g*c)
 
     # Decomposed matmuls (no big patch concat): per dh, a main K=128 matmul on
@@ -98,22 +118,25 @@ def pallas_conv2p5(x, w, *, group: int = None, ht: int = 64,
     wb = build_block_toeplitz(w.astype(jnp.bfloat16), g)  # (3*(g+2)*c, g*co)
     x3 = x.reshape(b * h, ng, g * c)
 
+    n_tiles = h // ht
     kernel = pl.pallas_call(
-        partial(_conv_kernel, ht=ht, ng=ng, g=g, c=c, co=co, h_total=h),
-        grid=(b, h // ht),
+        partial(_conv_kernel, ht=ht, ng=ng, g=g, c=c, co=co, h_total=h,
+                n_tiles=n_tiles),
+        grid=(b * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x3 (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Wb
         ],
         out_specs=pl.BlockSpec(
-            (1, ht, ng, g * co), lambda b_, t: (b_, t, 0, 0),
+            (1, ht, ng, g * co),
+            lambda i: (i // n_tiles, i % n_tiles, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, ng, g * co), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((1, ng, g * c), x.dtype),
-            pltpu.VMEM((ht, ng, g * c), x.dtype),
-            pltpu.VMEM((1, ng, g * c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 1, ng, g * c), x.dtype),
+            pltpu.VMEM((2, ht, ng, g * c), x.dtype),
+            pltpu.VMEM((2, 1, ng, g * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
     )
