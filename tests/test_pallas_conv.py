@@ -37,3 +37,17 @@ def test_pallas_conv_boundary_rows_zero_padded(rng):
     np.testing.assert_allclose(np.asarray(got[0, 0, :, 0]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got[0, 1, :, 0]),
                                np.asarray(x[0, 0, :, 0]), atol=5e-3, rtol=5e-3)
+
+
+def test_pallas_conv_multi_tile_grid(rng):
+    # multiple H tiles + multiple batch entries exercise the linearized
+    # double-buffered grid (slot reuse across b boundaries)
+    c, co = 16, 16
+    x = jnp.asarray(rng.normal(size=(3, 24, 16, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, c, co)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = pallas_conv2p5(x, w, ht=8, interpret=True, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
