@@ -45,10 +45,21 @@ def main(argv=None):
     train_ds = CacheDataset(train_files, train_t, num_workers=cfg.num_workers)
     logger.info("Caching validation data set...")
     val_ds = CacheDataset(val_files, val_t, num_workers=cfg.num_workers)
-    train_loader = DataLoader(train_ds, batch_size=cfg.train_batch_size,
-                              shuffle=True, seed=cfg.seed,
-                              prefetch=cfg.prefetch_depth)
-    val_loader = DataLoader(val_ds, batch_size=1)
+    if cfg.device_cache:
+        from vs_seg_tpu.data.device_pipeline import (DeviceCachedDataset,
+                                                     DeviceLoader)
+        logger.info("Uploading training set to HBM (device-side augmentation)")
+        train_loader = DeviceLoader(
+            DeviceCachedDataset(train_ds.cache, cfg.pad_crop_shape),
+            batch_size=cfg.train_batch_size, shuffle=True, seed=cfg.seed)
+        val_loader = DeviceLoader(
+            DeviceCachedDataset(val_ds.cache, cfg.pad_crop_shape), batch_size=1,
+            seed=cfg.seed + 1)
+    else:
+        train_loader = DataLoader(train_ds, batch_size=cfg.train_batch_size,
+                                  shuffle=True, seed=cfg.seed,
+                                  prefetch=cfg.prefetch_depth)
+        val_loader = DataLoader(val_ds, batch_size=1)
 
     logger.info("Setting up the model type...")
     model = build_model(cfg)

@@ -67,6 +67,7 @@ class Config:
     prefetch_depth: int = 2
     resume: bool = False
     sharded_inference: bool = False  # windows data-parallel across the mesh
+    device_cache: bool = False  # keep training set in HBM, augment on device
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
     @property
@@ -138,6 +139,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--sharded_inference", action="store_true",
                         help="shard each volume's sliding windows across all "
                              "devices of the mesh (TPU extra)")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="cache the training set in HBM and run random "
+                             "crop/flip on device (TPU extra; zero per-step "
+                             "host transfers)")
     return parser
 
 
@@ -158,6 +163,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         seed=getattr(args, "seed", 0),
         resume=getattr(args, "resume", False),
         sharded_inference=getattr(args, "sharded_inference", False),
+        device_cache=getattr(args, "device_cache", False),
     )
 
 

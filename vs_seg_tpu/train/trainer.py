@@ -181,6 +181,8 @@ class Trainer:
             from vs_seg_tpu.eval.metrics import center_of_mass_slice
             images_for_grid = []
             for batch_data in train_loader:
+                if not isinstance(batch_data, dict):
+                    break  # device pipeline: grid imagery lives on device
                 for image, label in zip(batch_data["image"], batch_data["label"]):
                     s = center_of_mass_slice(np.squeeze(label[0]))
                     images_for_grid.append(image[0, :, :, s])
@@ -214,8 +216,11 @@ class Trainer:
 
             step_losses, step_count = [], 0
             for batch in train_loader:
-                image, label = to_device_batch(batch, self.mesh,
-                                                image_dtype=self._transfer_dtype)
+                if isinstance(batch, tuple):
+                    image, label = batch  # device pipeline (HBM-cached crops)
+                else:
+                    image, label = to_device_batch(
+                        batch, self.mesh, image_dtype=self._transfer_dtype)
                 params, batch_stats, opt_state, rng, loss = self.train_step(
                     params, batch_stats, opt_state, rng, image, label)
                 # keep losses on device; syncing per step would serialize
@@ -233,8 +238,12 @@ class Trainer:
             if (epoch + 1) % cfg.val_interval == 0:
                 metric_sum, metric_count, val_loss, val_steps = 0.0, 0, 0.0, 0
                 for val_batch in val_loader:
-                    image, label = to_device_batch(val_batch, self.mesh,
-                                                    image_dtype=self._transfer_dtype)
+                    if isinstance(val_batch, tuple):
+                        image, label = val_batch
+                    else:
+                        image, label = to_device_batch(
+                            val_batch, self.mesh,
+                            image_dtype=self._transfer_dtype)
                     loss, dice = self.eval_step(params, batch_stats, image, label)
                     metric_sum += float(dice)
                     metric_count += 1
