@@ -48,6 +48,9 @@ class UNet2d5_spvPA(nn.Module):
     dropout: Optional[float] = 0.1
     attention_module: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # rematerialize block activations in the backward pass (jax.checkpoint):
+    # full-volume training at 384x384x64 needs it to fit 16 GB HBM
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,17 +58,22 @@ class UNet2d5_spvPA(nn.Module):
             == len(self.strides) + 1 == len(self.sample_kernel_sizes) + 1
         n = len(self.strides)  # number of down/up levels (5)
         common = dict(norm="batch", dropout=self.dropout, dtype=self.dtype)
+        if self.remat and train:
+            ResidualUnit_ = nn.remat(ResidualUnit, static_argnums=(2,))
+            Convolution_ = nn.remat(Convolution, static_argnums=(2,))
+        else:
+            ResidualUnit_, Convolution_ = ResidualUnit, Convolution
         att_maps = []
 
         # --- encoder ---
         skips = []
         for i in range(n):
-            x = ResidualUnit(self.channels[i], self.kernel_sizes[i],
-                             subunits=self.num_res_units,
-                             name=f"down_{i}", **common)(x, train)
+            x = ResidualUnit_(self.channels[i], self.kernel_sizes[i],
+                              subunits=self.num_res_units,
+                              name=f"down_{i}", **common)(x, train)
             skips.append(x)
-            x = Convolution(self.channels[i], self.sample_kernel_sizes[i],
-                            self.strides[i], name=f"downsample_{i}", **common)(x, train)
+            x = Convolution_(self.channels[i], self.sample_kernel_sizes[i],
+                             self.strides[i], name=f"downsample_{i}", **common)(x, train)
 
         # --- bottom (reference _get_bottom_layer, unet2d5_spvPA.py:152-158) ---
         if self.attention_module:
@@ -73,14 +81,14 @@ class UNet2d5_spvPA(nn.Module):
                                      name="bottom_att")(x, train)
             att_maps.append(att)
             x = attention_gate(att, x)
-        x = ResidualUnit(self.channels[n], self.kernel_sizes[n],
-                         subunits=self.num_res_units, name="bottom", **common)(x, train)
+        x = ResidualUnit_(self.channels[n], self.kernel_sizes[n],
+                          subunits=self.num_res_units, name="bottom", **common)(x, train)
 
         # --- decoder ---
         for i in reversed(range(n)):
-            x = Convolution(self.channels[i], self.sample_kernel_sizes[i],
-                            self.strides[i], is_transposed=True,
-                            name=f"upsample_{i}", **common)(x, train)
+            x = Convolution_(self.channels[i], self.sample_kernel_sizes[i],
+                             self.strides[i], is_transposed=True,
+                             name=f"upsample_{i}", **common)(x, train)
             x = jnp.concatenate([skips[i], x.astype(skips[i].dtype)], axis=-1)
             if self.attention_module:
                 att, x = AttentionBlock1(self.kernel_sizes[i], dtype=self.dtype,
@@ -88,7 +96,7 @@ class UNet2d5_spvPA(nn.Module):
                 att_maps.append(att)
                 x = attention_gate(att, x)
             outc = self.out_channels if i == 0 else self.channels[i]
-            x = ResidualUnit(outc, self.kernel_sizes[i], subunits=1,
-                             last_conv_only=(i == 0), name=f"up_{i}", **common)(x, train)
+            x = ResidualUnit_(outc, self.kernel_sizes[i], subunits=1,
+                              last_conv_only=(i == 0), name=f"up_{i}", **common)(x, train)
 
         return x, tuple(att_maps)
