@@ -58,16 +58,23 @@ class UNet2d5_spvPA(nn.Module):
             == len(self.strides) + 1 == len(self.sample_kernel_sizes) + 1
         n = len(self.strides)  # number of down/up levels (5)
         common = dict(norm="batch", dropout=self.dropout, dtype=self.dtype)
-        if self.remat and train:
-            ResidualUnit_ = nn.remat(ResidualUnit, static_argnums=(2,))
-            Convolution_ = nn.remat(Convolution, static_argnums=(2,))
-        else:
-            ResidualUnit_, Convolution_ = ResidualUnit, Convolution
+        # Selective rematerialization: only the top levels hold large
+        # activations (L0 at 384x384x64 is ~300 MB/buffer); deeper levels keep
+        # their residuals to avoid recompute cost.
+        remat_levels = 2
+
+        def blocks(level):
+            if self.remat and train and level < remat_levels:
+                return (nn.remat(ResidualUnit, static_argnums=(2,)),
+                        nn.remat(Convolution, static_argnums=(2,)))
+            return ResidualUnit, Convolution
+
         att_maps = []
 
         # --- encoder ---
         skips = []
         for i in range(n):
+            ResidualUnit_, Convolution_ = blocks(i)
             x = ResidualUnit_(self.channels[i], self.kernel_sizes[i],
                               subunits=self.num_res_units,
                               name=f"down_{i}", **common)(x, train)
@@ -81,11 +88,12 @@ class UNet2d5_spvPA(nn.Module):
                                      name="bottom_att")(x, train)
             att_maps.append(att)
             x = attention_gate(att, x)
-        x = ResidualUnit_(self.channels[n], self.kernel_sizes[n],
-                          subunits=self.num_res_units, name="bottom", **common)(x, train)
+        x = ResidualUnit(self.channels[n], self.kernel_sizes[n],
+                         subunits=self.num_res_units, name="bottom", **common)(x, train)
 
         # --- decoder ---
         for i in reversed(range(n)):
+            ResidualUnit_, Convolution_ = blocks(i)
             x = Convolution_(self.channels[i], self.sample_kernel_sizes[i],
                              self.strides[i], is_transposed=True,
                              name=f"upsample_{i}", **common)(x, train)
