@@ -172,3 +172,11 @@ def test_dice_score_metric(rng):
     # perfect prediction -> 1.0
     perfect = F.one_hot(label[:, 0].long(), 2).permute(0, 4, 1, 2, 3).float()
     assert float(dice_score(to_last(perfect), to_last(label))) > 0.999
+
+
+def test_segmentation_volume_ml():
+    from vs_seg_tpu.eval.metrics import segmentation_volume_ml
+    lbl = np.zeros((10, 10, 10))
+    lbl[:5, :5, :2] = 1  # 50 voxels
+    aff = np.diag([0.5, 0.5, 2.0, 1.0])  # 0.5mm^3 per voxel
+    np.testing.assert_allclose(segmentation_volume_ml(lbl, aff), 50 * 0.5 / 1000)

@@ -21,6 +21,17 @@ def dice_score(predicted_probabilities: jnp.ndarray, label: jnp.ndarray) -> jnp.
                            to_onehot_y=True, softmax=False, reduction="mean")
 
 
+def segmentation_volume_ml(labelmap, affine) -> float:
+    """Segmented volume in millilitres: voxel count x |det(affine[:3,:3])| mm^3.
+
+    Clinical volumetry output (the reference reports Dice only; tumour volume
+    is the standard companion metric for VS growth assessment)."""
+    import numpy as np
+    voxel_mm3 = abs(float(np.linalg.det(np.asarray(affine)[:3, :3])))
+    count = float(np.asarray(labelmap, dtype=np.float64).sum())
+    return count * voxel_mm3 / 1000.0
+
+
 def center_of_mass_slice(label) -> int:
     """Weighted center-of-mass slice index along the last spatial axis
     (reference params/VSparams.py:249-264); uniform weights if label empty."""

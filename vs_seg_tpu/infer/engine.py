@@ -93,6 +93,14 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         # argmax on device, transfer as uint8 (4x less D2H traffic than int32)
         pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1).astype(jnp.uint8))
 
+        # clinical volumetry (predicted vs ground-truth volume)
+        from vs_seg_tpu.eval.metrics import segmentation_volume_ml
+        meta = data["label_meta"][0]
+        pred_ml = segmentation_volume_ml(pred_argmax, meta["affine"])
+        gt_ml = segmentation_volume_ml(label[..., 0], meta["affine"])
+        logger.info("volumetry: predicted = %.3f ml, ground truth = %.3f ml",
+                    pred_ml, gt_ml)
+
         if export:
             logger.info("export to nifti...")
             meta = data["label_meta"][0]
