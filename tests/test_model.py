@@ -132,3 +132,23 @@ def test_converter_full_default_architecture(tmp_path):
     n_ours = sum(_np.prod(v.shape) for v in
                  jax.tree_util.tree_leaves(params))
     assert int(n_ours) == int(n_torch)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    torch.manual_seed(4)
+    full = dict(
+        channels=(16, 32, 48, 64, 80, 96),
+        strides=((2, 2, 1), (2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        sample_kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+    )
+    tmodel = TorchUNet2d5_spvPA(1, 2, full["channels"], full["strides"],
+                                full["kernel_sizes"], full["sample_kernel_sizes"])
+    pth = str(tmp_path / "m.pth")
+    torch.save(tmodel.state_dict(), pth)
+    dst = str(tmp_path / "m.ckpt")
+    from vs_seg_tpu.compat.convert_checkpoint import main as convert_main
+    convert_main([pth, dst])
+    from vs_seg_tpu.train.checkpoint import load_checkpoint
+    state = load_checkpoint(dst)
+    assert "params" in state and "batch_stats" in state
