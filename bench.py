@@ -4,13 +4,16 @@ north-star path, params/VSparams.py:568-574).
 
 Runs the flagship UNet2d5_spvPA over a synthetic whole volume with the
 reference inference protocol (ROI 384x384x64, overlap 0.25, Gaussian blending)
-on the available accelerator, and prints ONE JSON line:
-  {"metric": "sliding_window_volumes_per_sec", "value": N, "unit": "volumes/sec",
-   "vs_baseline": N}
+on the available accelerator, and prints ONE JSON line with volumes/sec plus
+hardware-relative numbers (achieved conv TFLOP/s and MFU vs the v5e bf16
+peak) so progress is meaningful independent of the baseline anchor.
 
-vs_baseline is measured against a conservative A100 reference estimate for the
-same serial sw_batch_size=1 torch pipeline (see BASELINE.md: the repo publishes
-no numbers; this anchor must be re-measured on real hardware).
+vs_baseline is a ratio to an ESTIMATED A100 anchor for the same serial
+sw_batch_size=1 torch pipeline (BASELINE.md: the reference repo publishes no
+numbers; the anchor must be re-measured on reference hardware when available).
+
+Asserts the fused Pallas blend path actually engaged on TPU — a silent
+fallback to the XLA scatter would otherwise masquerade as relay noise.
 """
 
 import json
@@ -85,12 +88,37 @@ def main():
         best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
     dt = best_dt
 
+    platform = jax.devices()[0].platform
+    from vs_seg_tpu.infer import sliding_window as sw
+    if platform == "tpu":
+        assert sw.LAST_USED_PALLAS is True, (
+            "fused Pallas blend path did not engage — perf regression "
+            f"(LAST_USED_PALLAS={sw.LAST_USED_PALLAS})")
+
+    # Achieved useful conv FLOP/s: analytic forward FLOPs x real (unmasked)
+    # windows per volume / wall-clock. MFU vs one v5e chip's bf16 peak.
+    from vs_seg_tpu.eval.flops import V5E_PEAK_BF16, forward_conv_flops
+    from vs_seg_tpu.infer.sliding_window import dense_patch_starts
+    roi_d = (ROI[2], ROI[0], ROI[1])
+    vol_d = (VOLUME_SHAPE[2], VOLUME_SHAPE[0], VOLUME_SHAPE[1])
+    padded = tuple(max(v, r) for v, r in zip(vol_d, roi_d))
+    n_windows = len(dense_patch_starts(padded, roi_d, 0.25))
+    window_flops = forward_conv_flops(model, variables, (1, *roi_d, 1))
+    flops_per_volume = window_flops * n_windows
+
     vps = 1.0 / dt
+    tflops = flops_per_volume * vps / 1e12
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec",
         "value": round(vps, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vps / A100_BASELINE_VPS, 3),
+        "baseline_anchor": "estimated (BASELINE.md)",
+        "n_windows": n_windows,
+        "window_tflops": round(window_flops / 1e12, 4),
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops * 1e12 / V5E_PEAK_BF16, 4) if platform == "tpu" else None,
+        "pallas_blend": sw.LAST_USED_PALLAS,
     }))
 
 

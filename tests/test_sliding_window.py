@@ -127,3 +127,38 @@ def test_dfirst_layout_equivalence(rng):
                                    predictor_layout="dfirst")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_bucketing_bounds_compilations(rng):
+    """4+ distinct whole-volume shapes with a bucket policy must compile O(1)
+    programs (the reference test protocol feeds heterogeneous whole volumes,
+    params/VSparams.py:552-574) and keep exact numerics vs unbucketed."""
+    from vs_seg_tpu.infer import sliding_window as sw
+
+    traces = []
+
+    @jax.jit
+    def counting_predictor(wins):
+        traces.append(wins.shape)  # appends once per trace (compile), not per call
+        return _toy_predictor(wins)
+
+    shapes = [(20, 14, 12), (24, 11, 14), (17, 9, 13), (23, 15, 10), (16, 16, 16)]
+    roi, bucket = (8, 8, 8), (16, 16, 16)
+    gather0 = sw._gather_windows._cache_size()
+    scatter0 = sw._scatter_accumulate._cache_size()
+    padded_shapes = set()
+    for shp in shapes:
+        volume = rng.normal(size=(*shp, 1)).astype(np.float32)
+        staged = sw.stage_volume(volume, roi, overlap=0.25, sw_batch_size=4,
+                                 bucket=bucket)
+        padded_shapes.add(staged.vol_dev.shape)
+        out = sliding_window_inference(staged, roi, counting_predictor,
+                                       sw_batch_size=4)
+        ref = _numpy_sliding_window(volume, roi, 0.25, _toy_predictor_np)
+        # bucketed numerics: windows beyond the unbucketed padded extent see
+        # zeros but blend only into the cropped-away margin -> exact equality
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+    assert len(padded_shapes) <= 2, padded_shapes
+    assert len(traces) == 1, traces  # one predictor compilation total
+    assert sw._gather_windows._cache_size() - gather0 <= 2
+    assert sw._scatter_accumulate._cache_size() - scatter0 <= 2

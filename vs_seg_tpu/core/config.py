@@ -62,6 +62,11 @@ class Config:
     infer_dtype: str = "bfloat16"     # sliding-window predictor dtype
     sw_batch_size: int = 4            # windows batched per device (ref: 1, serial)
     sw_overlap: float = 0.25          # MONAI 0.4 default overlap
+    # Round padded whole-volume shapes up to multiples of this (H, W, D) so a
+    # heterogeneous test set (reference protocol: whole volumes, no crop —
+    # params/VSparams.py:552-574) compiles O(1) programs instead of one per
+    # distinct shape. None disables bucketing.
+    sw_bucket: Optional[Shape3] = (64, 64, 16)
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (num_devices,)
     mesh_axes: Tuple[str, ...] = ("data",)
     prefetch_depth: int = 2
@@ -131,6 +136,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                         choices=["bfloat16", "float32"])
     parser.add_argument("--sw_batch_size", type=int, default=4,
                         help="sliding-window tiles evaluated per device step")
+    parser.add_argument("--sw_bucket", type=str, default="64,64,16",
+                        help="comma H,W,D multiples to round padded volume "
+                             "shapes up to (bounds recompiles across a "
+                             "heterogeneous test set); 'none' disables")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume", action="store_true",
                         help="resume full training state from "
@@ -144,6 +153,14 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                              "crop/flip on device (TPU extra; zero per-step "
                              "host transfers)")
     return parser
+
+
+def _parse_bucket(s) -> Optional[Shape3]:
+    if s is None or (isinstance(s, str) and s.lower() in ("none", "0", "")):
+        return None
+    if isinstance(s, (tuple, list)):
+        return tuple(int(v) for v in s)
+    return tuple(int(v) for v in s.split(","))
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -160,6 +177,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         compute_dtype=getattr(args, "compute_dtype", "bfloat16"),
         infer_dtype=getattr(args, "infer_dtype", "bfloat16"),
         sw_batch_size=getattr(args, "sw_batch_size", 4),
+        sw_bucket=_parse_bucket(getattr(args, "sw_bucket", "64,64,16")),
         seed=getattr(args, "seed", 0),
         resume=getattr(args, "resume", False),
         sharded_inference=getattr(args, "sharded_inference", False),

@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 import os
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional
 
 import jax
@@ -20,7 +22,7 @@ import numpy as np
 from vs_seg_tpu.data import nifti
 from vs_seg_tpu.eval import figures
 from vs_seg_tpu.eval.metrics import dice_score
-from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+from vs_seg_tpu.infer.sliding_window import sliding_window_inference, stage_volume
 
 
 def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
@@ -57,31 +59,59 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
     if mesh is None and getattr(cfg, "sharded_inference", False):
         from vs_seg_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    sharded = mesh is not None and mesh.devices.size > 1
+    if sharded:
         from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
         logger.info("sharded window inference over %d devices", mesh.devices.size)
 
-    dice_scores = np.zeros(len(test_loader))
-    times = []
-    for i, data in enumerate(test_loader):
-        logger.info("starting image %d", i)
+    # Host prep + H2D upload of case i+1 overlaps compute of case i (the
+    # reference loads/uploads serially, VSparams.py:566-569). Shape bucketing
+    # bounds the number of distinct compiled programs across the heterogeneous
+    # whole-volume test set (reference protocol: no crop at test time).
+    bucket = getattr(cfg, "sw_bucket", None)
+    transfer_dtype = dtype if dtype != jnp.float32 else None
+    stage_batch = (mesh.devices.size * cfg.sw_batch_size if sharded
+                   else cfg.sw_batch_size)
+
+    def stage(data):
         image = np.transpose(data["image"][0], (1, 2, 3, 0))  # (H, W, D, C)
         label = np.transpose(data["label"][0], (1, 2, 3, 0))
+        staged = stage_volume(image, cfg.sliding_window_inferer_roi_size,
+                              overlap=cfg.sw_overlap, sw_batch_size=stage_batch,
+                              bucket=bucket, transfer_dtype=transfer_dtype,
+                              predictor_layout="dfirst")
+        return image, label, staged, data
+
+    pool = ThreadPoolExecutor(1)
+    futures = deque()
+    it = iter(test_loader)
+    for data in it:
+        futures.append(pool.submit(stage, data))
+        if len(futures) >= 2:
+            break
+
+    dice_scores = np.zeros(len(test_loader))
+    times = []
+    i = -1
+    while futures:
+        i += 1
+        data_next = next(it, None)
+        if data_next is not None:
+            futures.append(pool.submit(stage, data_next))
+        logger.info("starting image %d", i)
+        image, label, staged, data = futures.popleft().result()
 
         t0 = time.perf_counter()
-        if mesh is not None and mesh.devices.size > 1:
-            from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+        if sharded:
             outputs = sliding_window_inference_sharded(
-                image, cfg.sliding_window_inferer_roi_size, predictor, mesh,
-                overlap=cfg.sw_overlap, sw_batch_size=1,
-                mode="gaussian", predictor_layout="dfirst",
-                transfer_dtype=dtype if dtype != jnp.float32 else None)
+                staged, cfg.sliding_window_inferer_roi_size, predictor, mesh,
+                overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
+                mode="gaussian", predictor_layout="dfirst")
         else:
             outputs = sliding_window_inference(
-                image, cfg.sliding_window_inferer_roi_size, predictor,
+                staged, cfg.sliding_window_inferer_roi_size, predictor,
                 overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
-                mode="gaussian", predictor_layout="dfirst",
-                transfer_dtype=dtype if dtype != jnp.float32 else None)
+                mode="gaussian", predictor_layout="dfirst")
         outputs.block_until_ready()
         times.append(time.perf_counter() - t0)
 

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Diagnostic: records whether the last sliding_window_inference call took the
+# fused Pallas blend path (bench.py asserts this on TPU — a silent fallback to
+# the 2.7x-slower XLA scatter would otherwise look like relay noise).
+LAST_USED_PALLAS: Optional[bool] = None
+
+
 @lru_cache(maxsize=8)
 def _importance_map_device(roi_size: Tuple[int, ...], mode: str,
                            sigma_scale: float) -> jnp.ndarray:
@@ -209,10 +215,14 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
     elif transfer_dtype is not None:
         volume = np.asarray(volume).astype(transfer_dtype)
     padded, crops = _pad_to_roi(np.ascontiguousarray(volume), roi_size)
+    # Window placement uses the un-bucketed extent (exact MONAI semantics);
+    # bucketing only grows the array so the accumulator/gather programs
+    # compile for O(1) distinct shapes. The margin gets zero blend weight and
+    # lies outside `crops`, so results are bit-identical to unbucketed.
+    starts = dense_patch_starts(padded.shape[:3], roi_size, overlap)
     if bucket is not None:
         extra = [(-padded.shape[i]) % bucket[i] for i in range(3)]
         padded = np.pad(padded, [(0, e) for e in extra] + [(0, 0)])
-    starts = dense_patch_starts(padded.shape[:3], roi_size, overlap)
 
     n = starts.shape[0]
     n_pad = -(-n // sw_batch_size) * sw_batch_size
@@ -301,6 +311,8 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
             out_acc, w_acc = _scatter_accumulate(
                 out_acc, w_acc, preds, batch_starts,
                 jax.device_put(staged.mask[sl]), imp_dev)
+    global LAST_USED_PALLAS
+    LAST_USED_PALLAS = bool(use_pallas)
     blended = _finalize(out_acc, w_acc)
     (a0, a1), (b0, b1), (c0, c1) = staged.crops
     blended = blended[a0:a1, b0:b1, c0:c1, :]

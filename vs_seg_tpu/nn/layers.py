@@ -39,6 +39,11 @@ Shape3 = Tuple[int, int, int]
 _DN3 = ("NDHWC", "DHWIO", "NDHWC")
 _DN2 = ("NHWC", "HWIO", "NHWC")
 
+# When set to a list (see eval/flops.py), conv3d appends its analytic FLOP
+# count (2 * out_elems * kh*kw*kd * Cin) at trace time — drives the bench's
+# achieved-TFLOP/s / MFU report.
+_FLOP_TRACE: Optional[list] = None
+
 
 def _triple(v) -> Shape3:
     if isinstance(v, (tuple, list)):
@@ -87,6 +92,8 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
             dimension_numbers=_DN3, precision=precision)
     if b is not None:
         y = y + b.astype(y.dtype)
+    if _FLOP_TRACE is not None:
+        _FLOP_TRACE.append(2 * int(np.prod(y.shape)) * int(np.prod(w.shape[:4])))
     return y
 
 
