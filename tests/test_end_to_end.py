@@ -131,3 +131,16 @@ def test_resume_continues_training(e2e):
     state3, losses3, _ = trainer3.fit(restored, train_loader, val_loader)
     assert len(losses3) == 1  # only the one new epoch ran
     assert state3["epoch"] == cfg.num_epochs + 1
+
+
+def test_inference_spatial_matches_plain(e2e):
+    """run_inference with --spatial_inference (H sharded over the 8-device
+    CPU mesh, halo-exchange convs) must reproduce the plain path's Dice."""
+    import dataclasses as dc
+    cfg, model, trainer, state, _, _, test_loader = e2e
+    ref, _ = run_inference(cfg, model, state["params"], state["batch_stats"],
+                           test_loader, make_figures=False, export=False)
+    cfg2 = dc.replace(cfg, spatial_inference=True)
+    out, _ = run_inference(cfg2, model, state["params"], state["batch_stats"],
+                           test_loader, make_figures=False, export=False)
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -1,0 +1,81 @@
+"""Spatial sharding with halo exchange (SURVEY §5): one window split over the
+mesh must reproduce the single-device forward exactly. Runs on the 8-device
+virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_model import SMALL
+from vs_seg_tpu.models import UNet2d5_spvPA
+from vs_seg_tpu.ops.halo import halo_conv3d
+from vs_seg_tpu.parallel.mesh import make_mesh
+
+
+@pytest.mark.parametrize("kernel", [(3, 3, 1), (3, 3, 3), (1, 3, 3)])
+def test_halo_conv3d_matches_dense(rng, kernel):
+    from vs_seg_tpu.nn.layers import conv3d, same_padding
+    mesh = make_mesh()
+    n = mesh.devices.size
+    kh, kw, kd = kernel
+    x = jnp.asarray(rng.normal(size=(1, 6, 8 * n, 16, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(kh, kw, kd, 4, 8)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    pad = same_padding(kernel)
+    ref = conv3d(x, w, b, (1, 1, 1), [(p, p) for p in pad], dtype=jnp.float32)
+    out = halo_conv3d(x, w, b, mesh, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_predictor_matches_single_device(rng):
+    """GSPMD spatially-sharded forward (H over 8 devices) == dense forward."""
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer.spatial import make_spatial_predictor
+
+    mesh = make_mesh()
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
+                          attention_module=True, dtype=jnp.float32, **SMALL)
+    x = jnp.zeros((1, 8, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    wins = jnp.asarray(rng.normal(size=(1, 8, 32, 32, 1)), jnp.float32)
+    ref = make_predictor(model, params, stats, dtype=jnp.float32)(wins)
+    out = make_spatial_predictor(model, params, stats, mesh,
+                                 dtype=jnp.float32)(wins)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_predictor_in_sliding_window(rng):
+    """End-to-end: sliding-window inference with the spatially sharded
+    predictor equals the unsharded engine output."""
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+    from vs_seg_tpu.infer.spatial import make_spatial_predictor
+
+    mesh = make_mesh()
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
+                          attention_module=True, dtype=jnp.float32, **SMALL)
+    x0 = jnp.zeros((1, 8, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x0, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    volume = rng.normal(size=(40, 36, 10, 1)).astype(np.float32)  # (H, W, D, C)
+    roi = (32, 32, 8)
+    ref = sliding_window_inference(
+        volume, roi, make_predictor(model, params, stats, dtype=jnp.float32),
+        sw_batch_size=1, predictor_layout="dfirst")
+    out = sliding_window_inference(
+        volume, roi,
+        make_spatial_predictor(model, params, stats, mesh, dtype=jnp.float32),
+        sw_batch_size=1, predictor_layout="dfirst")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

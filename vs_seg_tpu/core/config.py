@@ -72,6 +72,7 @@ class Config:
     prefetch_depth: int = 2
     resume: bool = False
     sharded_inference: bool = False  # windows data-parallel across the mesh
+    spatial_inference: bool = False  # ONE window's H sharded across the mesh
     device_cache: bool = False  # keep training set in HBM, augment on device
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
@@ -148,6 +149,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--sharded_inference", action="store_true",
                         help="shard each volume's sliding windows across all "
                              "devices of the mesh (TPU extra)")
+    parser.add_argument("--spatial_inference", action="store_true",
+                        help="shard each window's H spatially across the mesh "
+                             "with conv halo exchange (TPU extra; for "
+                             "windows-per-volume < chips)")
     parser.add_argument("--device_cache", action="store_true",
                         help="cache the training set in HBM and run random "
                              "crop/flip on device (TPU extra; zero per-step "
@@ -181,6 +186,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         seed=getattr(args, "seed", 0),
         resume=getattr(args, "resume", False),
         sharded_inference=getattr(args, "sharded_inference", False),
+        spatial_inference=getattr(args, "spatial_inference", False),
         device_cache=getattr(args, "device_cache", False),
     )
 

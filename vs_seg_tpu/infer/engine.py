@@ -56,10 +56,19 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
     dtype = jnp.bfloat16 if cfg.infer_dtype == "bfloat16" else jnp.float32
     predictor = make_predictor(model, params, batch_stats, dtype=dtype)
 
-    if mesh is None and getattr(cfg, "sharded_inference", False):
+    if mesh is None and (getattr(cfg, "sharded_inference", False)
+                         or getattr(cfg, "spatial_inference", False)):
         from vs_seg_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-    sharded = mesh is not None and mesh.devices.size > 1
+    spatial = (mesh is not None and mesh.devices.size > 1
+               and getattr(cfg, "spatial_inference", False))
+    sharded = (mesh is not None and mesh.devices.size > 1 and not spatial)
+    if spatial:
+        from vs_seg_tpu.infer.spatial import make_spatial_predictor
+        logger.info("spatially sharded inference (H over %d devices)",
+                    mesh.devices.size)
+        predictor = make_spatial_predictor(model, params, batch_stats,
+                                           mesh, dtype=dtype)
     if sharded:
         from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
         logger.info("sharded window inference over %d devices", mesh.devices.size)
@@ -70,8 +79,8 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
     # whole-volume test set (reference protocol: no crop at test time).
     bucket = getattr(cfg, "sw_bucket", None)
     transfer_dtype = dtype if dtype != jnp.float32 else None
-    stage_batch = (mesh.devices.size * cfg.sw_batch_size if sharded
-                   else cfg.sw_batch_size)
+    sw_batch = 1 if spatial else cfg.sw_batch_size
+    stage_batch = mesh.devices.size * sw_batch if sharded else sw_batch
 
     def stage(data):
         image = np.transpose(data["image"][0], (1, 2, 3, 0))  # (H, W, D, C)
@@ -105,12 +114,12 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         if sharded:
             outputs = sliding_window_inference_sharded(
                 staged, cfg.sliding_window_inferer_roi_size, predictor, mesh,
-                overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
+                overlap=cfg.sw_overlap, sw_batch_size=sw_batch,
                 mode="gaussian", predictor_layout="dfirst")
         else:
             outputs = sliding_window_inference(
                 staged, cfg.sliding_window_inferer_roi_size, predictor,
-                overlap=cfg.sw_overlap, sw_batch_size=cfg.sw_batch_size,
+                overlap=cfg.sw_overlap, sw_batch_size=sw_batch,
                 mode="gaussian", predictor_layout="dfirst")
         outputs.block_until_ready()
         times.append(time.perf_counter() - t0)

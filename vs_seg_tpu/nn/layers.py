@@ -44,6 +44,28 @@ _DN2 = ("NHWC", "HWIO", "NHWC")
 # achieved-TFLOP/s / MFU report.
 _FLOP_TRACE: Optional[list] = None
 
+# Spatial-sharding context (infer/spatial.py): when set to (axis_name, n)
+# inside a shard_map region, conv3d sees LOCAL H blocks and exchanges conv
+# halos with jax.lax.ppermute instead of zero-padding H (SURVEY §5: sharding
+# one window/volume across the mesh — the reference's "long context" analog,
+# counterpart of the tiling at params/VSparams.py:568-574).
+_SPATIAL: Optional[Tuple[str, int]] = None
+
+
+class spatial_sharding:
+    """Context manager enabling halo-exchange convs (trace-time toggle)."""
+
+    def __init__(self, axis_name: str, n_shards: int):
+        self.ctx = (axis_name, int(n_shards))
+
+    def __enter__(self):
+        global _SPATIAL
+        self._prev, _SPATIAL = _SPATIAL, self.ctx
+
+    def __exit__(self, *exc):
+        global _SPATIAL
+        _SPATIAL = self._prev
+
 
 def _triple(v) -> Shape3:
     if isinstance(v, (tuple, list)):
@@ -77,6 +99,24 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     sh, sw, sd = strides
     ph, pw, pd = padding
     ld = lhs_dilation or (1, 1, 1)
+    if _SPATIAL is not None:
+        # x is a LOCAL H block inside a shard_map region: replace H zero
+        # padding with a neighbor halo exchange (exact vs the dense conv —
+        # tests/test_spatial.py).
+        from vs_seg_tpu.ops.halo import exchange_halo
+        axis_name, n_shards = _SPATIAL
+        if ld[0] == 1:
+            halo = (int(ph[0]), max(kh - int(ph[0]) - sh, 0))
+            ph = (0, 0)
+        else:
+            # transpose conv in H: only the reference pattern occurs
+            assert kh == 3 and ld[0] == 2 and tuple(ph) == (1, 2), (
+                "spatial sharding supports the reference upsample arithmetic "
+                f"only (kh=3, stride 2); got kh={kh} ld={ld[0]} ph={ph}")
+            halo = (0, 1)
+            ph = (1, 0)
+        x = exchange_halo(x, halo, axis_name, spatial_axis=2,
+                          n_shards=n_shards)
     if kd == 1 and sd == 1 and ld[2] == 1 and tuple(pd) == (0, 0):
         y = jax.lax.conv_general_dilated(
             x.reshape(B * D, *x.shape[2:]), w[:, :, 0],
