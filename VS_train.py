@@ -24,12 +24,29 @@ def main(argv=None):
     add_reference_cli_flags(parser)
     cfg = config_from_args(parser.parse_args(argv))
 
+    # multi-host (DCN): initialize from env if a coordinator is configured
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), build the
+    # (dcn, data) mesh and shard the training set per host (SURVEY §2.5).
+    import jax
+    from vs_seg_tpu.parallel import distributed as dist
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        dist.initialize(coord,
+                        int(os.environ["JAX_NUM_PROCESSES"]),
+                        int(os.environ["JAX_PROCESS_ID"]))
+    multihost = jax.process_count() > 1
+    mesh = dist.make_global_mesh() if multihost else None
+
     create_results_folders(cfg)
     logger = set_up_logger(cfg, "training_log.txt")
     log_parameters(cfg, logger)
 
     train_files, val_files, _ = load_split_csv(cfg.split_csv, cfg.dataset,
                                                cfg.data_root)
+    if multihost:
+        train_files = dist.shard_files_for_process(train_files)
+        logger.info("multi-host: process %d/%d holds %d training cases",
+                    jax.process_index(), jax.process_count(), len(train_files))
     logger.info("Number of images in training set   = %d", len(train_files))
     logger.info("Number of images in validation set = %d", len(val_files))
     train_t, val_t, _ = get_transforms(cfg.pad_crop_shape)
@@ -70,7 +87,7 @@ def main(argv=None):
     except Exception:
         logger.info("tensorboardX unavailable; skipping TB logging")
 
-    trainer = Trainer(cfg, model, logger=logger, tb_writer=tb_writer)
+    trainer = Trainer(cfg, model, logger=logger, tb_writer=tb_writer, mesh=mesh)
     resume_path = os.path.join(cfg.model_path, "last_epoch_model.ckpt")
     if getattr(cfg, "resume", False) and os.path.exists(resume_path):
         logger.info("Resuming full training state from %s", resume_path)

@@ -71,12 +71,23 @@ def conv2d_widthpack(p):
 
 def matmul_rate(m, k, n, dtype=jnp.bfloat16):
     a = jnp.ones((m, k), dtype)
-    b = jnp.ones((k, n), dtype)
+    ws = jnp.asarray(np.random.default_rng(0).normal(
+        size=(CHAIN * STEPS, k, n)) * 0.01, dtype)
 
-    def op(x, w):
-        return jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+    def run(a, ws):
+        def step(acc, w):
+            return acc + jnp.sum(jnp.dot(a, w, preferred_element_type=jnp.float32)), ()
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), ws)
+        return acc[None]
 
-    dt = timed(lambda a, b: chain(op, a, b), a, b)
+    fn = jax.jit(run)
+    float(jnp.sum(fn(a, ws)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(fn(a, ws)))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / (CHAIN * STEPS)
     return 2 * m * k * n / dt / 1e12, dt
 
 
@@ -106,9 +117,11 @@ def main():
     if which in ("L1", "all"):
         bench_level("L1 (32ch, 192x192, BD=64)", 64, 192, 192, 32)
     if which in ("mm", "all"):
-        # matmul ceilings for the Pallas block-matmul design at L0 scale
-        for (m, k, n) in ((64 * 384 * 48, 384, 128), (64 * 384 * 48, 128, 128),
-                          (64 * 384 * 48, 96, 128)):
+        # matmul ceilings for the Pallas block-matmul design (M scaled 1/8 of
+        # L0 to keep operands uploadable over the relay; rate is M-invariant
+        # at this size)
+        m = 64 * 384 * 6
+        for (k, n) in ((384, 128), (128, 128), (96, 128)):
             rate, dt = matmul_rate(m, k, n)
             print(f"matmul M={m} K={k} N={n}: {dt*1e3:8.3f} ms {rate:6.1f} TFLOP/s")
             sys.stdout.flush()

@@ -32,9 +32,11 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 
 
 def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
-    """Shard `batch_axis` over the mesh `data` axis; replicate other dims."""
+    """Shard `batch_axis` over the data-parallel mesh axes ("data", plus
+    "dcn" across hosts when present); replicate other dims."""
     spec = [None] * ndim
-    spec[batch_axis] = "data"
+    names = tuple(n for n in ("dcn", "data") if n in mesh.axis_names)
+    spec[batch_axis] = names if len(names) > 1 else names[0]
     return NamedSharding(mesh, P(*spec))
 
 

@@ -127,6 +127,12 @@ def to_device_batch(batch, mesh=None, image_dtype=None):
         image = image.astype(image_dtype)
     if np.all(np.mod(label, 1) == 0) and label.min() >= 0 and label.max() < 256:
         label = label.astype(np.uint8)
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: `batch` is this process's LOCAL slice of the global
+        # batch (dataset sharded per host); assemble the global jax.Array
+        from vs_seg_tpu.parallel.distributed import make_global_batch
+        if image.shape[0] % jax.local_device_count() == 0:
+            return make_global_batch(mesh, (image, label))
     if mesh is not None and image.shape[0] % mesh.devices.size == 0:
         sharding = batch_sharding(mesh, image.ndim)
         return (jax.device_put(image, sharding), jax.device_put(label, sharding))
