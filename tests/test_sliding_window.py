@@ -162,3 +162,14 @@ def test_bucketing_bounds_compilations(rng):
     assert len(traces) == 1, traces  # one predictor compilation total
     assert sw._gather_windows._cache_size() - gather0 <= 2
     assert sw._scatter_accumulate._cache_size() - scatter0 <= 2
+
+
+def test_fused_matches_unfused(rng):
+    """The single-dispatch fused window loop must equal the per-batch path."""
+    volume = rng.normal(size=(20, 14, 12, 1)).astype(np.float32)
+    roi = (8, 8, 8)
+    a = sliding_window_inference(volume, roi, _toy_predictor, sw_batch_size=3,
+                                 fused=True)
+    b = sliding_window_inference(volume, roi, _toy_predictor, sw_batch_size=3,
+                                 fused=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -60,6 +60,28 @@ def profile_forward():
     sys.stdout.flush()
 
 
+def _chain_timed(fn, x, n=8):
+    """Time fn(x) via an in-graph scan chain (dispatch-latency free). The
+    carry perturbs the input each iteration so XLA cannot hoist the body."""
+
+    def step(acc, _):
+        y = fn(x + acc.astype(x.dtype))
+        return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-12, ()
+
+    @jax.jit
+    def run(x):
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+        return acc[None]
+
+    sync(run(x))
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        sync(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
 def profile_levels():
     """Each level's (down ResUnit + downsample) and (upsample + att + up) at
     its native scale, batch 1."""
@@ -82,11 +104,10 @@ def profile_levels():
         y = down.apply(v1, x, False)
         v2 = ds.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, y, False)
 
-        @jax.jit
         def enc(x):
             return ds.apply(v2, down.apply(v1, x, False), False)
 
-        dt = timeit(enc, x)
+        dt = _chain_timed(enc, x)
         # decoder at this level: input 2*ch (concat), att + 1-subunit resunit
         x2 = jnp.asarray(rng.normal(size=(1, d, h, w, 2 * cfg_ch[i])), jnp.bfloat16)
         att = AttentionBlock1(kernels[i], dtype=jnp.bfloat16)
@@ -95,13 +116,12 @@ def profile_levels():
         v3 = att.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x2, False)
         v4 = up.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x2, False)
 
-        @jax.jit
         def dec(x2):
             from vs_seg_tpu.nn.blocks import attention_gate
             a, _ = att.apply(v3, x2, False)
             return up.apply(v4, attention_gate(a, x2), False)
 
-        dt2 = timeit(dec, x2)
+        dt2 = _chain_timed(dec, x2)
         print(f"L{i} {d}x{h}x{w} c{cin}->{cfg_ch[i]}: enc {dt*1e3:7.2f} ms   "
               f"dec {dt2*1e3:7.2f} ms")
         sys.stdout.flush()

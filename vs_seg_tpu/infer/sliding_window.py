@@ -235,6 +235,70 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
                         dequant)
 
 
+_OC_CACHE = {}
+
+
+def _predictor_out_channels(predictor, win_shape, dtype) -> int:
+    """Output channel count via one cached eval_shape (tracing the model per
+    volume would cost seconds of host time)."""
+    key = (id(predictor), tuple(win_shape), jnp.dtype(dtype).name)
+    if key not in _OC_CACHE:
+        _OC_CACHE[key] = jax.eval_shape(
+            predictor, jax.ShapeDtypeStruct(tuple(win_shape), dtype)).shape[-1]
+    return _OC_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("predictor", "sw_batch_size", "use_pallas",
+                                   "roi_size"))
+def _fused_window_loop(vol_dev, starts, mask, importance, *, predictor,
+                       sw_batch_size, use_pallas, roi_size):
+    """The WHOLE per-volume window loop (gather -> predict -> blend-scatter
+    over all batches -> normalize) as ONE jitted program: a single dispatch
+    per volume instead of ~3 per window batch. Essential when dispatch
+    latency is non-trivial (remote relays: ~15-30 ms/call) and still saves
+    host-device round trips on a local TPU."""
+    c = vol_dev.shape[-1]
+    n_batches = starts.shape[0] // sw_batch_size
+
+    def gather(batch_starts):
+        def one(s):
+            return jax.lax.dynamic_slice(vol_dev, (s[0], s[1], s[2], 0),
+                                         (*roi_size, c))
+        return jax.vmap(one)(batch_starts)
+
+    # first batch outside the loop to learn the output channel count
+    preds0 = predictor(gather(jax.lax.dynamic_slice(
+        starts, (0, 0), (sw_batch_size, 3))))
+    oc = preds0.shape[-1]
+    s0, s1, s2 = vol_dev.shape[:3]
+    out_acc = jnp.zeros((s0, s1, s2, oc), jnp.float32)
+    w_acc = jnp.zeros((s0, s1, s2, 1), jnp.float32)
+
+    def blend(carry, preds, batch_starts, batch_mask):
+        out_acc, w_acc = carry
+        if use_pallas:
+            from vs_seg_tpu.ops.pallas_blend import pallas_blend_scatter
+            return pallas_blend_scatter(out_acc, w_acc, preds, batch_starts,
+                                        batch_mask, importance)
+        return _scatter_accumulate(out_acc, w_acc, preds, batch_starts,
+                                   batch_mask, importance)
+
+    carry = blend((out_acc, w_acc), preds0,
+                  jax.lax.dynamic_slice(starts, (0, 0), (sw_batch_size, 3)),
+                  jax.lax.dynamic_slice(mask, (0,), (sw_batch_size,)))
+
+    def body(b, carry):
+        bs = jax.lax.dynamic_slice(starts, (b * sw_batch_size, 0),
+                                   (sw_batch_size, 3))
+        bm = jax.lax.dynamic_slice(mask, (b * sw_batch_size,),
+                                   (sw_batch_size,))
+        preds = predictor(gather(bs))
+        return blend(carry, preds, bs, bm)
+
+    out_acc, w_acc = jax.lax.fori_loop(1, n_batches, body, carry)
+    return out_acc / w_acc
+
+
 def sliding_window_inference(volume, roi_size: Sequence[int],
                              predictor: Callable, *, overlap: float = 0.25,
                              sw_batch_size: int = 4, mode: str = "gaussian",
@@ -242,6 +306,7 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
                              bucket: Optional[Sequence[int]] = None,
                              transfer_dtype=None, quantize: bool = False,
                              predictor_layout: str = "hwdc",
+                             fused: Optional[bool] = None,
                              use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Run `predictor` over overlapping ROIs of a whole volume and blend.
 
@@ -255,6 +320,7 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
     the model-native (N, D, H, W, C) (no per-batch transposes).
     Returns (H, W, D, out_channels) blended logits on device.
     """
+    global LAST_USED_PALLAS
     if isinstance(volume, StagedVolume):
         staged = volume
     else:
@@ -290,6 +356,26 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
                       # Mosaic tiling: ROI rows sublane-aligned, lanes 128-aligned
                       and roi_size[1] % 8 == 0 and roi_size[2] % 128 == 0)
 
+    if fused is None:
+        fused = True
+    if fused:
+        oc = _predictor_out_channels(
+            predictor, (sw_batch_size, *roi_size, vol_dev.shape[-1]),
+            vol_dev.dtype)
+        if use_pallas and (vol_dev.shape[2] * oc) % 128 != 0:
+            use_pallas = False
+        LAST_USED_PALLAS = bool(use_pallas)
+        blended = _fused_window_loop(
+            vol_dev, jax.device_put(staged.starts_padded),
+            jax.device_put(staged.mask), imp_dev, predictor=predictor,
+            sw_batch_size=sw_batch_size, use_pallas=bool(use_pallas),
+            roi_size=roi_size)
+        (a0, a1), (b0, b1), (c0, c1) = staged.crops
+        blended = blended[a0:a1, b0:b1, c0:c1, :]
+        if staged.dfirst:
+            blended = jnp.transpose(blended, (1, 2, 0, 3))
+        return blended
+
     out_acc = w_acc = None
     for b in range(n_pad // sw_batch_size):
         sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
@@ -311,7 +397,6 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
             out_acc, w_acc = _scatter_accumulate(
                 out_acc, w_acc, preds, batch_starts,
                 jax.device_put(staged.mask[sl]), imp_dev)
-    global LAST_USED_PALLAS
     LAST_USED_PALLAS = bool(use_pallas)
     blended = _finalize(out_acc, w_acc)
     (a0, a1), (b0, b1), (c0, c1) = staged.crops
