@@ -141,10 +141,13 @@ def profile_train(trace=False):
     image = jnp.asarray(rng.normal(size=(1, 64, 384, 384, 1)), jnp.float32)
     label = jnp.asarray((rng.random((1, 64, 384, 384, 1)) > 0.9), jnp.float32)
 
+    # train_step donates params/batch_stats/opt_state/rng — thread them
+    carry = [state["params"], state["batch_stats"], state["opt_state"],
+             jrandom.key(0)]
+
     def step():
-        p, bs, o, _, loss = trainer.train_step(
-            state["params"], state["batch_stats"], state["opt_state"],
-            jrandom.key(0), image, label)
+        p, bs, o, key, loss = trainer.train_step(*carry, image, label)
+        carry[:] = [p, bs, o, key]
         return loss
 
     sync(step())

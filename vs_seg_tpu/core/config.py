@@ -70,6 +70,7 @@ class Config:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (num_devices,)
     mesh_axes: Tuple[str, ...] = ("data",)
     prefetch_depth: int = 2
+    remat: bool = False  # backward rematerialization; needed only for local batch > 2
     resume: bool = False
     sharded_inference: bool = False  # windows data-parallel across the mesh
     spatial_inference: bool = False  # ONE window's H sharded across the mesh
@@ -142,6 +143,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                              "shapes up to (bounds recompiles across a "
                              "heterogeneous test set); 'none' disables")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize activations in the backward pass "
+                             "(saves HBM for local batch > 2 at ~12%% step "
+                             "cost; TPU extra)")
     parser.add_argument("--resume", action="store_true",
                         help="resume full training state from "
                              "last_epoch_model.ckpt (TPU extra; the reference "
@@ -184,6 +189,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         sw_batch_size=getattr(args, "sw_batch_size", 4),
         sw_bucket=_parse_bucket(getattr(args, "sw_bucket", "64,64,16")),
         seed=getattr(args, "seed", 0),
+        remat=getattr(args, "remat", False),
         resume=getattr(args, "resume", False),
         sharded_inference=getattr(args, "sharded_inference", False),
         spatial_inference=getattr(args, "spatial_inference", False),

@@ -110,7 +110,7 @@ def spatial_forward(model, variables, x, *, axis: str, n_shards: int,
             x = conv(f"upsample_{i}", m.channels[i], m.sample_kernel_sizes[i],
                      m.strides[i], transposed=True)(x)
 
-        x = jnp.concatenate([skips[i], x.astype(skips[i].dtype)], axis=-1)
+        x = (skips[i], x.astype(skips[i].dtype))  # concat held as a pair
         ctx = sharded if sharded_now else _null_ctx()
         with ctx:
             if m.attention_module:

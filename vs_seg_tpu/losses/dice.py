@@ -146,6 +146,26 @@ def _maxpool3d(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, dims, "VALID")
 
 
+def _maxpool3d_squeezed(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
+    """MaxPool3d(kernel=stride=window) on squeezed (B, S0, S1, S2)."""
+    dims = (1, *window)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, dims, "VALID")
+
+
+def _dice_single_channel(pred4: jnp.ndarray, target4: jnp.ndarray,
+                         smooth: float) -> jnp.ndarray:
+    """Soft Dice on squeezed single-channel (B, S0, S1, S2) arrays — the same
+    math as dice_loss(..., C=1) but without the trailing 1-sized channel dim,
+    whose minor-dim layout XLA tiles catastrophically on TPU (measured: a
+    single att-pyramid reduce at (1,64,192,192,1) cost 22.5 ms in the train
+    step; squeezed layout removes it — see runs/trace_r2)."""
+    ax = (1, 2, 3)
+    intersection = jnp.sum(target4 * pred4, ax)
+    denominator = jnp.sum(target4, ax) + jnp.sum(pred4, ax)
+    f = 1.0 - (2.0 * intersection + smooth) / (denominator + smooth)
+    return jnp.mean(f)
+
+
 def dice_spvpa_loss(logits: jnp.ndarray, att_maps: Tuple[jnp.ndarray, ...],
                     target: jnp.ndarray, *, supervised_attention: bool = True,
                     hardness_weighting: bool = True,
@@ -162,17 +182,17 @@ def dice_spvpa_loss(logits: jnp.ndarray, att_maps: Tuple[jnp.ndarray, ...],
     total_att_loss = 0.0
     if supervised_attention and len(att_maps) > 0:
         L = len(att_maps)
-        g = target.astype(jnp.float32)
+        g = target.astype(jnp.float32)[..., 0]  # squeezed (B, S0, S1, S2)
         for level in range(L):
-            att = att_maps[L - level - 1]  # finest first
-            att_loss = dice_loss(att.astype(jnp.float32), g, smooth=smooth)
+            att = att_maps[L - level - 1][..., 0]  # finest first
+            att_loss = _dice_single_channel(att.astype(jnp.float32), g, smooth)
             total_att_loss = total_att_loss + att_loss / L
             if level < L - 1:
                 cur = att_maps[L - level - 1].shape
                 nxt = att_maps[L - level - 2].shape
                 assert all(c % n == 0 for c, n in zip(cur, nxt))
                 ratio = tuple(c // n for c, n in zip(cur[1:4], nxt[1:4]))
-                g = _maxpool3d(g, ratio)
+                g = _maxpool3d_squeezed(g, ratio)
 
     hardness_weight = None
     if hardness_weighting:

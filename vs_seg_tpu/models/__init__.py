@@ -14,5 +14,6 @@ def build_model(cfg):
             sample_kernel_sizes=tuple(cfg.sample_kernel_sizes),
             num_res_units=cfg.num_res_units, dropout=cfg.dropout,
             attention_module=cfg.attention, dtype=dtype,
+            remat=getattr(cfg, "remat", False),
         )
     raise Exception("Model not defined.")

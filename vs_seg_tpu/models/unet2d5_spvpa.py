@@ -48,9 +48,11 @@ class UNet2d5_spvPA(nn.Module):
     dropout: Optional[float] = 0.1
     attention_module: bool = True
     dtype: jnp.dtype = jnp.bfloat16
-    # rematerialize block activations in the backward pass (jax.checkpoint):
-    # full-volume training at 384x384x64 needs it to fit 16 GB HBM
-    remat: bool = True
+    # rematerialize block activations in the backward pass (jax.checkpoint).
+    # Measured on v5e (16 GB): full-volume bf16 training fits WITHOUT remat
+    # through batch 2, and remat costs ~47 ms/step (454 -> 407 ms at batch 1,
+    # runs/trace_r2) — so it defaults OFF; enable for larger local batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,7 +99,10 @@ class UNet2d5_spvPA(nn.Module):
             x = Convolution_(self.channels[i], self.sample_kernel_sizes[i],
                              self.strides[i], is_transposed=True,
                              name=f"upsample_{i}", **common)(x, train)
-            x = jnp.concatenate([skips[i], x.astype(skips[i].dtype)], axis=-1)
+            # SkipConnection concat, held as a PAIR: every consumer splits its
+            # conv over the halves (exact; avoids the materialized concat and
+            # its layout-transpose copies — nn/layers.Conv3d pair path)
+            x = (skips[i], x.astype(skips[i].dtype))
             if self.attention_module:
                 att, x = AttentionBlock1(self.kernel_sizes[i], dtype=self.dtype,
                                          name=f"upatt_{i}")(x, train)

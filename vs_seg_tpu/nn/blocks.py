@@ -83,7 +83,8 @@ class ResidualUnit(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         strides = _triple(self.strides)
-        in_features = x.shape[-1]
+        pair = isinstance(x, (tuple, list))
+        in_features = (sum(v.shape[-1] for v in x) if pair else x.shape[-1])
         cx = x
         subunits = max(1, self.subunits)
         for su in range(subunits):
@@ -100,6 +101,7 @@ class ResidualUnit(nn.Module):
             res = Conv3d(self.features, rkernel, strides, padding=rpad,
                          dtype=self.dtype, name="residual")(x)
         else:
+            assert not pair, "identity residual undefined for pair input"
             res = x
         return cx + res
 
@@ -115,7 +117,8 @@ class AttentionBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        c = x.shape[-1]
+        c = (sum(v.shape[-1] for v in x) if isinstance(x, (tuple, list))
+             else x.shape[-1])
         att = Convolution(c // 2, self.kernel_size, act="relu", norm=None,
                           dropout=None, dtype=self.dtype, name="conv1")(x, train)
         att = Convolution(1, self.kernel_size, act="sigmoid", norm=None,
@@ -123,7 +126,10 @@ class AttentionBlock1(nn.Module):
         return att, x
 
 
-def attention_gate(att: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def attention_gate(att: jnp.ndarray, x):
     """AttentionBlock2: out = att*x + x (residual spatial gating,
-    reference attentionblock.py:43-47). Parameter-free, so a function."""
+    reference attentionblock.py:43-47). Parameter-free, so a function.
+    Accepts a pair (xa, xb) standing for channel-concat: gates each half."""
+    if isinstance(x, (tuple, list)):
+        return tuple(att.astype(v.dtype) * v + v for v in x)
     return att * x + x

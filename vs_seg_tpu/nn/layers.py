@@ -138,7 +138,14 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
 
 
 class Conv3d(nn.Module):
-    """Plain 3D convolution with torch-Conv3d-compatible init and padding."""
+    """Plain 3D convolution with torch-Conv3d-compatible init and padding.
+
+    `x` may be a PAIR (xa, xb) of tensors standing for their channel concat:
+    the conv is computed as conv(xa, w[..., :ca, :]) + conv(xb, w[..., ca:, :])
+    — algebraically identical to conv(concat), with the SAME parameter tensor,
+    but without materializing the concatenated activation (XLA otherwise
+    inserts ~4 ms layout-transpose copies per decoder level at reference
+    scale; see runs/trace_r2 and docs/KERNELS.md)."""
 
     features: int
     kernel_size: Shape3
@@ -152,7 +159,8 @@ class Conv3d(nn.Module):
         k = _triple(self.kernel_size)
         s = _triple(self.strides)
         p = same_padding(k) if self.padding is None else _triple(self.padding)
-        cin = x.shape[-1]
+        pair = isinstance(x, (tuple, list))
+        cin = (sum(v.shape[-1] for v in x) if pair else x.shape[-1])
         # torch Conv3d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
         # kernel (kaiming_uniform with a=sqrt(5)) and bias.
         fan_in = cin * int(np.prod(k))
@@ -164,7 +172,13 @@ class Conv3d(nn.Module):
         w = self.param("kernel", uniform_init, (*k, cin, self.features), jnp.float32)
         b = (self.param("bias", uniform_init, (self.features,), jnp.float32)
              if self.use_bias else None)
-        return conv3d(x, w, b, s, [(pi, pi) for pi in p], dtype=self.dtype)
+        pads = [(pi, pi) for pi in p]
+        if pair:
+            ca = x[0].shape[-1]
+            ya = conv3d(x[0], w[..., :ca, :], None, s, pads, dtype=self.dtype)
+            yb = conv3d(x[1], w[..., ca:, :], b, s, pads, dtype=self.dtype)
+            return ya + yb
+        return conv3d(x, w, b, s, pads, dtype=self.dtype)
 
 
 class ConvTranspose3d(nn.Module):
