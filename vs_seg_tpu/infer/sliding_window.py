@@ -198,31 +198,40 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
     roi_size = tuple(int(r) for r in roi_size)
     dfirst = predictor_layout == "dfirst"
     if dfirst:
-        volume = np.transpose(volume, (2, 0, 1, 3))
         roi_size = (roi_size[2], roi_size[0], roi_size[1])
         if bucket is not None:
             bucket = (bucket[2], bucket[0], bucket[1])
     dequant = None
     if quantize:
+        # global stats on the ORIGINAL contiguous array (a strided scan of the
+        # transposed view is ~5x slower)
         lo = float(volume.min())
         hi = float(volume.max())
         scale = (hi - lo) / 255.0 if hi > lo else 1.0
-        # round-to-nearest via +0.5 truncation (np.round's banker's rounding
-        # is ~40x slower on large arrays)
-        volume = np.clip((volume - lo) * (1.0 / scale) + 0.5, 0.0, 255.0
-                         ).astype(np.uint8)
+        inv_scale = np.float32(1.0 / scale)
         dequant = (np.float32(scale), np.float32(lo))
+        out_dtype = np.dtype(np.uint8)
     elif transfer_dtype is not None:
-        volume = np.asarray(volume).astype(transfer_dtype)
-    padded, crops = _pad_to_roi(np.ascontiguousarray(volume), roi_size)
+        out_dtype = np.dtype(transfer_dtype)
+    else:
+        out_dtype = volume.dtype
+    src = np.transpose(volume, (2, 0, 1, 3)) if dfirst else volume  # lazy view
+
+    pads, crops = [], []
+    for dim, roi in zip(src.shape[:3], roi_size):
+        diff = max(roi - dim, 0)
+        half = diff // 2
+        pads.append((half, diff - half))
+        crops.append((half, half + dim))
+    padded_shape = [d + p0 + p1 for d, (p0, p1) in zip(src.shape[:3], pads)]
     # Window placement uses the un-bucketed extent (exact MONAI semantics);
     # bucketing only grows the array so the accumulator/gather programs
     # compile for O(1) distinct shapes. The margin gets zero blend weight and
     # lies outside `crops`, so results are bit-identical to unbucketed.
-    starts = dense_patch_starts(padded.shape[:3], roi_size, overlap)
+    starts = dense_patch_starts(tuple(padded_shape), roi_size, overlap)
     if bucket is not None:
-        extra = [(-padded.shape[i]) % bucket[i] for i in range(3)]
-        padded = np.pad(padded, [(0, e) for e in extra] + [(0, 0)])
+        for i in range(3):
+            padded_shape[i] += (-padded_shape[i]) % bucket[i]
 
     n = starts.shape[0]
     n_pad = -(-n // sw_batch_size) * sw_batch_size
@@ -230,9 +239,58 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
     mask[:n] = 1.0
     starts_padded = np.zeros((n_pad, 3), np.int32)
     starts_padded[:n] = starts
-    vol_dev = jax.device_put(padded)
+
+    # Fill the padded transfer buffer in axis-0 slabs, shipping each slab to
+    # the device as soon as it is ready: host prep (transpose gather +
+    # quantize, ~150 ms at reference scale) overlaps the H2D copy, and the
+    # parallel streams saturate relay-tunneled transfer paths that a single
+    # device_put does not (measured 35 -> 45 MB/s at 4 streams here).
+    out = np.zeros((*padded_shape, src.shape[3]), out_dtype)
+    (a0, _), (b0, _), (c0, _) = pads
+    i_lo, i_hi = a0, a0 + src.shape[0]
+
+    def fill(a, b):
+        ia, ib = max(a, i_lo), min(b, i_hi)
+        if ia >= ib:
+            return
+        block = src[ia - a0: ib - a0]
+        if quantize:
+            # round-to-nearest via +0.5 truncation (np.round's banker's
+            # rounding is ~40x slower on large arrays)
+            block = np.clip((block - lo) * inv_scale + 0.5, 0.0, 255.0
+                            ).astype(np.uint8)
+        else:
+            block = block.astype(out_dtype, copy=False)
+        out[ia:ib, b0:b0 + src.shape[1], c0:c0 + src.shape[2]] = block
+
+    k = max(1, min(UPLOAD_STREAMS * 2, out.shape[0]))
+    bounds = np.linspace(0, out.shape[0], k + 1).astype(int)
+    parts = []
+    pool = _upload_pool()
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b > a:
+            fill(a, b)
+            parts.append(pool.submit(jax.device_put, out[a:b]))
+    done = [f.result() for f in parts]
+    vol_dev = done[0] if len(done) == 1 else jnp.concatenate(done, axis=0)
     return StagedVolume(vol_dev, crops, starts_padded, mask, roi_size, dfirst,
                         dequant)
+
+
+# Concurrent H2D streams for stage_volume; the device-side concat is the only
+# overhead on a directly-attached host (one HBM copy of the volume, negligible
+# vs PCIe).
+UPLOAD_STREAMS = 4
+_POOL = None
+
+
+def _upload_pool():
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _POOL = ThreadPoolExecutor(UPLOAD_STREAMS,
+                                   thread_name_prefix="vs_seg_upload")
+    return _POOL
 
 
 _OC_CACHE = {}
