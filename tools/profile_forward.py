@@ -142,8 +142,9 @@ def profile_train(trace=False):
     label = jnp.asarray((rng.random((1, 64, 384, 384, 1)) > 0.9), jnp.float32)
 
     # train_step donates params/batch_stats/opt_state/rng — thread them
+    from vs_seg_tpu.train.trainer import wrap_rng_data
     carry = [state["params"], state["batch_stats"], state["opt_state"],
-             jrandom.key(0)]
+             wrap_rng_data(state["rng"])]
 
     def step():
         p, bs, o, key, loss = trainer.train_step(*carry, image, label)

@@ -280,13 +280,23 @@ ACTIVATIONS = {
 
 
 class Dropout(nn.Module):
+    """Inverted dropout (torch semantics). The Bernoulli mask is drawn by
+    thresholding one u16 random word per element instead of a f32 uniform —
+    half the generated bits, ~3 ms cheaper per reference-scale call
+    (runs/trace_r2). Keep probability is quantized to 1/65536 (6e-7 absolute
+    for the reference rate 0.1); the inverted scale uses the exact quantized
+    keep, so E[dropout(x)] == x holds exactly."""
+
     rate: float
 
     @nn.compact
     def __call__(self, x, train: bool):
         if not train or self.rate == 0.0:
             return x
-        keep = 1.0 - self.rate
+        thresh = int(round((1.0 - self.rate) * 65536.0))
+        if thresh >= 65536:  # rate below representable: identity
+            return x
+        keep = thresh / 65536.0
         rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(rng, keep, x.shape)
+        mask = jax.random.bits(rng, x.shape, jnp.uint16) < jnp.uint16(thresh)
         return jnp.where(mask, x / keep, 0.0)
