@@ -41,13 +41,22 @@ class Convolution(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv_cls = ConvTranspose3d if self.is_transposed else Conv3d
-        x = conv_cls(self.features, self.kernel_size, _triple(self.strides),
-                     dtype=self.dtype, name="conv")(x)
+        conv = conv_cls(self.features, self.kernel_size, _triple(self.strides),
+                        dtype=self.dtype, name="conv")
         if self.conv_only:
-            return x
+            return conv(x)
         if self.norm == "batch":
-            x = BatchNorm(name="norm")(x, train)
-        elif self.norm is not None:
+            if train:
+                x = BatchNorm(name="norm")(conv(x), train)
+            else:
+                # frozen BN folds into the conv weights: one fewer full-tensor
+                # pass per block at inference, numerically the same affine
+                affine = BatchNorm(name="norm", features=self.features)(
+                    None, train, fold=True)
+                x = conv(x, affine=affine)
+        elif self.norm is None:
+            x = conv(x)
+        else:
             raise ValueError(f"unsupported norm {self.norm}")
         if self.dropout:
             x = Dropout(self.dropout, name="dropout")(x, train)

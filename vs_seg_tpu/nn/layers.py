@@ -155,7 +155,7 @@ class Conv3d(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, affine=None):
         k = _triple(self.kernel_size)
         s = _triple(self.strides)
         p = same_padding(k) if self.padding is None else _triple(self.padding)
@@ -172,6 +172,13 @@ class Conv3d(nn.Module):
         w = self.param("kernel", uniform_init, (*k, cin, self.features), jnp.float32)
         b = (self.param("bias", uniform_init, (self.features,), jnp.float32)
              if self.use_bias else None)
+        if affine is not None:
+            # fold a frozen per-out-channel affine (e.g. eval BatchNorm) into
+            # the weights, in f32: conv(x, w)*inv + shift == conv(x, w*inv)
+            # + (b*inv + shift)
+            inv, shift = affine
+            w = w * inv
+            b = shift if b is None else b * inv + shift
         pads = [(pi, pi) for pi in p]
         if pair:
             ca = x[0].shape[-1]
@@ -197,7 +204,7 @@ class ConvTranspose3d(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, affine=None):
         k = np.asarray(_triple(self.kernel_size))
         s = np.asarray(_triple(self.strides))
         p = np.asarray(same_padding(tuple(k)))
@@ -217,6 +224,10 @@ class ConvTranspose3d(nn.Module):
                        jnp.float32)
         b = (self.param("bias", kernel_init, (self.features,), jnp.float32)
              if self.use_bias else None)
+        if affine is not None:
+            inv, shift = affine
+            w = w * inv
+            b = shift if b is None else b * inv + shift
         w_flipped = jnp.flip(w, axis=(0, 1, 2))
         return conv3d(x, w_flipped, b, (1, 1, 1), pad, dtype=self.dtype,
                       lhs_dilation=tuple(int(v) for v in s))
@@ -224,20 +235,31 @@ class ConvTranspose3d(nn.Module):
 
 class BatchNorm(nn.Module):
     """torch BatchNorm3d semantics over NDHWC (normalize with biased batch
-    stats; running var updated with the unbiased estimate)."""
+    stats; running var updated with the unbiased estimate).
+
+    `fold=True` (eval only) returns the equivalent per-channel affine
+    (inv, shift) instead of applying it, so the caller can fold the frozen
+    normalization into the preceding conv's weights — one fewer full-tensor
+    pass per Convolution block at inference (`features` supplies the channel
+    count since no activation is seen)."""
 
     momentum: float = 0.1
     eps: float = 1e-5
+    features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        c = x.shape[-1]
+    def __call__(self, x, train: bool, fold: bool = False):
+        c = self.features if x is None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if fold:
+            assert not train, "BN folding is an eval-only transformation"
+            inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            return inv, bias - ra_mean.value * inv
         x_dtype = x.dtype
         if train:
             axes = tuple(range(x.ndim - 1))
