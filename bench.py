@@ -27,7 +27,7 @@ import numpy as np
 # RAS reorientation; ROI 384x384x64, overlap 0.25 -> 2x2x2 = 8 windows.
 VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
-SW_BATCH = 2
+SW_BATCH = 8
 WARMUP = 1
 ITERS = 4
 REPS = 6
@@ -87,8 +87,9 @@ def main():
         t0 = time.perf_counter()
         futures = [pool.submit(stage, v) for v in volumes[1:]]
         outs = [run(first)] + [run(f.result()) for f in futures]
-        for o in outs:
-            float(jnp.sum(o[..., 0]))
+        # one combined readback (depends on every output, so it syncs all
+        # volumes) — per-volume scalar readbacks each cost a relay RTT
+        float(sum(jnp.sum(o[..., 0]) for o in outs))
         best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
     dt = best_dt
 
