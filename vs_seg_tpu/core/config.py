@@ -60,7 +60,7 @@ class Config:
     seed: int = 0
     compute_dtype: str = "bfloat16"   # conv compute dtype; params stay float32
     infer_dtype: str = "bfloat16"     # sliding-window predictor dtype
-    sw_batch_size: int = 4            # windows batched per device (ref: 1, serial)
+    sw_batch_size: int = 8            # windows batched per device (ref: 1, serial)
     sw_overlap: float = 0.25          # MONAI 0.4 default overlap
     # Round padded whole-volume shapes up to multiples of this (H, W, D) so a
     # heterogeneous test set (reference protocol: whole volumes, no crop —
@@ -136,7 +136,7 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                         choices=["bfloat16", "float32"])
     parser.add_argument("--infer_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--sw_batch_size", type=int, default=4,
+    parser.add_argument("--sw_batch_size", type=int, default=8,
                         help="sliding-window tiles evaluated per device step")
     parser.add_argument("--sw_bucket", type=str, default="64,64,16",
                         help="comma H,W,D multiples to round padded volume "
@@ -186,7 +186,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         data_root=getattr(args, "data_root", "./data/VS_defaced/"),
         compute_dtype=getattr(args, "compute_dtype", "bfloat16"),
         infer_dtype=getattr(args, "infer_dtype", "bfloat16"),
-        sw_batch_size=getattr(args, "sw_batch_size", 4),
+        sw_batch_size=getattr(args, "sw_batch_size", 8),
         sw_bucket=_parse_bucket(getattr(args, "sw_bucket", "64,64,16")),
         seed=getattr(args, "seed", 0),
         remat=getattr(args, "remat", False),
