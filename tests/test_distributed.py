@@ -67,3 +67,16 @@ def test_two_process_dp_train_step_matches_single_process():
         state["params"], state["batch_stats"], state["opt_state"],
         jrandom.key(0), im, lb)
     np.testing.assert_allclose(losses[0], float(loss), atol=2e-6)
+
+
+def test_shard_files_equal_counts_and_coverage():
+    """Every host must get the SAME case count (unequal counts deadlock the
+    gradient psum); the tail wraps around, and all files stay covered."""
+    from vs_seg_tpu.parallel.distributed import shard_files_for_process
+    for n_files, n_hosts in [(10, 3), (8, 4), (7, 2), (3, 8)]:
+        files = list(range(n_files))
+        shards = [shard_files_for_process(files, pid, n_hosts)
+                  for pid in range(n_hosts)]
+        assert len({len(s) for s in shards}) == 1, (n_files, n_hosts)
+        covered = set().union(*[set(s) for s in shards])
+        assert covered == set(files), (n_files, n_hosts)

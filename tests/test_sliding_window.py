@@ -173,3 +173,20 @@ def test_fused_matches_unfused(rng):
     b = sliding_window_inference(volume, roi, _toy_predictor, sw_batch_size=3,
                                  fused=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_quantized_pad_margin_is_zero(rng):
+    """Pad-to-roi margins must dequantize to ~0.0 even when the volume's own
+    range excludes 0 (regression: uint8 pads decoded to the volume MINIMUM)."""
+    from vs_seg_tpu.infer.sliding_window import stage_volume
+    volume = (rng.random((5, 6, 4, 1)) + 5.0).astype(np.float32)  # all >= 5
+    roi = (8, 8, 8)
+    ref = sliding_window_inference(volume, roi, _toy_predictor,
+                                   overlap=0.25, sw_batch_size=4)
+    staged = stage_volume(volume, roi, overlap=0.25, sw_batch_size=4,
+                          quantize=True)
+    out = sliding_window_inference(staged, roi, _toy_predictor,
+                                   overlap=0.25, sw_batch_size=4)
+    # quantization step of the 0-extended range; predictor scales inputs ~2x
+    step = float(volume.max()) / 255.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=4 * step)

@@ -80,83 +80,103 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
     bucket = getattr(cfg, "sw_bucket", None)
     transfer_dtype = dtype if dtype != jnp.float32 else None
     sw_batch = 1 if spatial else cfg.sw_batch_size
-    stage_batch = mesh.devices.size * sw_batch if sharded else sw_batch
 
     def stage(data):
         image = np.transpose(data["image"][0], (1, 2, 3, 0))  # (H, W, D, C)
         label = np.transpose(data["label"][0], (1, 2, 3, 0))
+        if sharded:
+            # per-DEVICE batch sized to this volume's window count: with the
+            # reference protocol (~8 windows) on an 8-chip mesh each device
+            # gets 1 window — a fixed cfg.sw_batch_size per device would
+            # make every chip compute a full batch of mostly masked padding
+            from vs_seg_tpu.infer.sliding_window import count_windows
+            n_win = count_windows(image.shape[:3],
+                                  cfg.sliding_window_inferer_roi_size,
+                                  cfg.sw_overlap)
+            per_dev = max(1, min(cfg.sw_batch_size,
+                                 -(-n_win // mesh.devices.size)))
+            batch = mesh.devices.size * per_dev
+        else:
+            per_dev = sw_batch
+            batch = sw_batch
         staged = stage_volume(image, cfg.sliding_window_inferer_roi_size,
-                              overlap=cfg.sw_overlap, sw_batch_size=stage_batch,
+                              overlap=cfg.sw_overlap, sw_batch_size=batch,
                               bucket=bucket, transfer_dtype=transfer_dtype,
                               predictor_layout="dfirst")
-        return image, label, staged, data
+        return image, label, staged, data, per_dev
 
     pool = ThreadPoolExecutor(1)
-    futures = deque()
-    it = iter(test_loader)
-    for data in it:
-        futures.append(pool.submit(stage, data))
-        if len(futures) >= 2:
-            break
+    try:
+        futures = deque()
+        it = iter(test_loader)
+        for data in it:
+            futures.append(pool.submit(stage, data))
+            if len(futures) >= 2:
+                break
 
-    dice_scores = np.zeros(len(test_loader))
-    times = []
-    i = -1
-    while futures:
-        i += 1
-        data_next = next(it, None)
-        if data_next is not None:
-            futures.append(pool.submit(stage, data_next))
-        logger.info("starting image %d", i)
-        image, label, staged, data = futures.popleft().result()
+        dice_scores = np.zeros(len(test_loader))
+        times = []
+        i = -1
+        while futures:
+            i += 1
+            data_next = next(it, None)
+            if data_next is not None:
+                futures.append(pool.submit(stage, data_next))
+            logger.info("starting image %d", i)
+            image, label, staged, data, per_dev = futures.popleft().result()
 
-        t0 = time.perf_counter()
-        if sharded:
-            outputs = sliding_window_inference_sharded(
-                staged, cfg.sliding_window_inferer_roi_size, predictor, mesh,
-                overlap=cfg.sw_overlap, sw_batch_size=sw_batch,
-                mode="gaussian", predictor_layout="dfirst")
-        else:
-            outputs = sliding_window_inference(
-                staged, cfg.sliding_window_inferer_roi_size, predictor,
-                overlap=cfg.sw_overlap, sw_batch_size=sw_batch,
-                mode="gaussian", predictor_layout="dfirst")
-        outputs.block_until_ready()
-        times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            if sharded:
+                outputs = sliding_window_inference_sharded(
+                    staged, cfg.sliding_window_inferer_roi_size, predictor, mesh,
+                    overlap=cfg.sw_overlap, sw_batch_size=per_dev,
+                    mode="gaussian", predictor_layout="dfirst")
+            else:
+                outputs = sliding_window_inference(
+                    staged, cfg.sliding_window_inferer_roi_size, predictor,
+                    overlap=cfg.sw_overlap, sw_batch_size=per_dev,
+                    mode="gaussian", predictor_layout="dfirst")
+            outputs.block_until_ready()
+            times.append(time.perf_counter() - t0)
 
-        dice = float(dice_score(outputs[None].astype(jnp.float32),
-                                jnp.asarray(label[None])))
-        dice_scores[i] = dice
-        logger.info("dice_score = %s", dice)
+            dice = float(dice_score(outputs[None].astype(jnp.float32),
+                                    jnp.asarray(label[None])))
+            dice_scores[i] = dice
+            logger.info("dice_score = %s", dice)
 
-        # argmax on device, transfer as uint8 (4x less D2H traffic than int32)
-        pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1).astype(jnp.uint8))
+            # argmax on device, transfer as uint8 (4x less D2H traffic than int32)
+            pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1).astype(jnp.uint8))
 
-        # clinical volumetry (predicted vs ground-truth volume)
-        from vs_seg_tpu.eval.metrics import segmentation_volume_ml
-        meta = data["label_meta"][0]
-        pred_ml = segmentation_volume_ml(pred_argmax, meta["affine"])
-        gt_ml = segmentation_volume_ml(label[..., 0], meta["affine"])
-        logger.info("volumetry: predicted = %.3f ml, ground truth = %.3f ml",
-                    pred_ml, gt_ml)
-
-        if export:
-            logger.info("export to nifti...")
+            # clinical volumetry (predicted vs ground-truth volume)
+            from vs_seg_tpu.eval.metrics import segmentation_volume_ml
             meta = data["label_meta"][0]
-            folder_name = os.path.basename(
-                os.path.dirname(meta["filename_or_obj"]))
-            out_dir = os.path.join(cfg.results_folder_path,
-                                   "inferred_segmentations_nifti", folder_name)
-            base = os.path.basename(meta["filename_or_obj"])
-            base = base.replace(".nii.gz", "").replace(".nii", "")
-            nifti.write_labelmap(
-                pred_argmax.astype(np.float32),
-                os.path.join(out_dir, base + ".nii.gz"),
-                affine=meta["affine"], target_affine=meta["original_affine"])
+            pred_ml = segmentation_volume_ml(pred_argmax, meta["affine"])
+            gt_ml = segmentation_volume_ml(label[..., 0], meta["affine"])
+            logger.info("volumetry: predicted = %.3f ml, ground truth = %.3f ml",
+                        pred_ml, gt_ml)
 
-        if make_figures:
-            figures.save_inference_panel(image[..., 0], label[..., 0],
-                                         pred_argmax, dice, i, cfg.figures_path)
+            if export:
+                logger.info("export to nifti...")
+                meta = data["label_meta"][0]
+                folder_name = os.path.basename(
+                    os.path.dirname(meta["filename_or_obj"]))
+                out_dir = os.path.join(cfg.results_folder_path,
+                                       "inferred_segmentations_nifti", folder_name)
+                base = os.path.basename(meta["filename_or_obj"])
+                base = base.replace(".nii.gz", "").replace(".nii", "")
+                nifti.write_labelmap(
+                    pred_argmax.astype(np.float32),
+                    os.path.join(out_dir, base + ".nii.gz"),
+                    affine=meta["affine"], target_affine=meta["original_affine"])
+
+            if make_figures:
+                figures.save_inference_panel(image[..., 0], label[..., 0],
+                                             pred_argmax, dice, i, cfg.figures_path)
+
+    finally:
+        # release the staging thread and its pinned host buffers —
+        # repeated run_inference calls in one process must not leak
+        pool.shutdown(wait=False, cancel_futures=True)
 
     if make_figures:
         figures.save_dice_histogram(dice_scores, cfg.figures_path)

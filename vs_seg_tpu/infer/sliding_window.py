@@ -103,18 +103,6 @@ def dense_patch_starts(image_size, roi_size, overlap: float) -> np.ndarray:
     return grid.reshape(-1, 3).astype(np.int32)
 
 
-def _pad_to_roi(volume: np.ndarray, roi_size) -> Tuple[np.ndarray, list]:
-    """Pad (H, W, D, C) so each spatial dim >= roi (half/half, constant 0)."""
-    pads, crops = [], []
-    for dim, roi in zip(volume.shape[:3], roi_size):
-        diff = max(roi - dim, 0)
-        half = diff // 2
-        pads.append((half, diff - half))
-        crops.append((half, half + dim))
-    volume = np.pad(volume, pads + [(0, 0)], mode="constant")
-    return volume, crops
-
-
 @partial(jax.jit, static_argnames=("roi_size",))
 def _gather_windows(volume, starts, *, roi_size):
     """volume (H,W,D,C), starts (sb,3) -> (sb, *roi, C)."""
@@ -162,6 +150,15 @@ def _dequantize(vol_u8, scale, offset, out_dtype=jnp.bfloat16):
     return vol_u8.astype(out_dtype) * scale.astype(out_dtype) + offset.astype(out_dtype)
 
 
+def count_windows(spatial_shape: Sequence[int], roi_size: Sequence[int],
+                  overlap: float) -> int:
+    """Number of sliding windows for a volume (after pad-to-roi). Order-
+    invariant, so callers may pass (H, W, D) or (D, H, W) consistently."""
+    padded = tuple(max(int(d), int(r)) for d, r in zip(spatial_shape, roi_size))
+    return len(dense_patch_starts(padded, tuple(int(r) for r in roi_size),
+                                  overlap))
+
+
 class StagedVolume:
     """Host-prepared, device-uploaded volume ready for window inference.
 
@@ -202,15 +199,21 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
         if bucket is not None:
             bucket = (bucket[2], bucket[0], bucket[1])
     dequant = None
+    pad_value = 0
     if quantize:
         # global stats on the ORIGINAL contiguous array (a strided scan of the
-        # transposed view is ~5x slower)
-        lo = float(volume.min())
-        hi = float(volume.max())
+        # transposed view is ~5x slower). The range is extended to include
+        # 0.0 so the zero pad-to-roi margin is representable: filling pads
+        # with raw uint8 0 would dequantize to `lo` (e.g. ~-2 after intensity
+        # normalization), corrupting every window that overlaps a pad plane.
+        lo = min(float(volume.min()), 0.0)
+        hi = max(float(volume.max()), 0.0)
         scale = (hi - lo) / 255.0 if hi > lo else 1.0
         inv_scale = np.float32(1.0 / scale)
         dequant = (np.float32(scale), np.float32(lo))
         out_dtype = np.dtype(np.uint8)
+        # code for 0.0, same +0.5-truncation rounding as the block fill
+        pad_value = int(np.clip(np.float32(0.0 - lo) * inv_scale + 0.5, 0, 255))
     elif transfer_dtype is not None:
         out_dtype = np.dtype(transfer_dtype)
     else:
@@ -245,7 +248,7 @@ def stage_volume(volume: np.ndarray, roi_size: Sequence[int], *,
     # quantize, ~150 ms at reference scale) overlaps the H2D copy, and the
     # parallel streams saturate relay-tunneled transfer paths that a single
     # device_put does not (measured 35 -> 45 MB/s at 4 streams here).
-    out = np.zeros((*padded_shape, src.shape[3]), out_dtype)
+    out = np.full((*padded_shape, src.shape[3]), pad_value, out_dtype)
     (a0, _), (b0, _), (c0, _) = pads
     i_lo, i_hi = a0, a0 + src.shape[0]
 
@@ -307,14 +310,17 @@ def _predictor_out_channels(predictor, win_shape, dtype) -> int:
 
 
 @partial(jax.jit, static_argnames=("predictor", "sw_batch_size", "use_pallas",
-                                   "roi_size"))
+                                   "roi_size", "out_channels"))
 def _fused_window_loop(vol_dev, starts, mask, importance, *, predictor,
-                       sw_batch_size, use_pallas, roi_size):
+                       sw_batch_size, use_pallas, roi_size, out_channels):
     """The WHOLE per-volume window loop (gather -> predict -> blend-scatter
     over all batches -> normalize) as ONE jitted program: a single dispatch
     per volume instead of ~3 per window batch. Essential when dispatch
     latency is non-trivial (remote relays: ~15-30 ms/call) and still saves
-    host-device round trips on a local TPU."""
+    host-device round trips on a local TPU. `out_channels` is supplied by
+    the caller (cached eval_shape) so every batch runs inside the fori_loop
+    — the predictor body is traced once, not twice (compiles cost minutes
+    via this environment's remote compile service)."""
     c = vol_dev.shape[-1]
     n_batches = starts.shape[0] // sw_batch_size
 
@@ -324,12 +330,8 @@ def _fused_window_loop(vol_dev, starts, mask, importance, *, predictor,
                                          (*roi_size, c))
         return jax.vmap(one)(batch_starts)
 
-    # first batch outside the loop to learn the output channel count
-    preds0 = predictor(gather(jax.lax.dynamic_slice(
-        starts, (0, 0), (sw_batch_size, 3))))
-    oc = preds0.shape[-1]
     s0, s1, s2 = vol_dev.shape[:3]
-    out_acc = jnp.zeros((s0, s1, s2, oc), jnp.float32)
+    out_acc = jnp.zeros((s0, s1, s2, out_channels), jnp.float32)
     w_acc = jnp.zeros((s0, s1, s2, 1), jnp.float32)
 
     def blend(carry, preds, batch_starts, batch_mask):
@@ -341,10 +343,6 @@ def _fused_window_loop(vol_dev, starts, mask, importance, *, predictor,
         return _scatter_accumulate(out_acc, w_acc, preds, batch_starts,
                                    batch_mask, importance)
 
-    carry = blend((out_acc, w_acc), preds0,
-                  jax.lax.dynamic_slice(starts, (0, 0), (sw_batch_size, 3)),
-                  jax.lax.dynamic_slice(mask, (0,), (sw_batch_size,)))
-
     def body(b, carry):
         bs = jax.lax.dynamic_slice(starts, (b * sw_batch_size, 0),
                                    (sw_batch_size, 3))
@@ -353,7 +351,7 @@ def _fused_window_loop(vol_dev, starts, mask, importance, *, predictor,
         preds = predictor(gather(bs))
         return blend(carry, preds, bs, bm)
 
-    out_acc, w_acc = jax.lax.fori_loop(1, n_batches, body, carry)
+    out_acc, w_acc = jax.lax.fori_loop(0, n_batches, body, (out_acc, w_acc))
     return out_acc / w_acc
 
 
@@ -427,7 +425,7 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
             vol_dev, jax.device_put(staged.starts_padded),
             jax.device_put(staged.mask), imp_dev, predictor=predictor,
             sw_batch_size=sw_batch_size, use_pallas=bool(use_pallas),
-            roi_size=roi_size)
+            roi_size=roi_size, out_channels=oc)
         (a0, a1), (b0, b1), (c0, c1) = staged.crops
         blended = blended[a0:a1, b0:b1, c0:c1, :]
         if staged.dfirst:

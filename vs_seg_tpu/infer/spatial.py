@@ -158,6 +158,14 @@ def make_spatial_predictor(model, params, batch_stats, mesh: Mesh, *,
     @jax.jit
     def predictor(wins):
         gather = pick_gather_level(model, wins.shape[2], n_shards)
+        if gather == 0:
+            # H cannot be sharded at all (not divisible by the mesh, or the
+            # local block is below level-0 stride granularity): fall back to
+            # the plain replicated forward. Entering the shard_map here would
+            # gather immediately and return full-H blocks that out_specs
+            # would wrongly concatenate to n_shards*H.
+            out = model.apply(variables, wins.astype(dtype), train=False)
+            return out[0] if isinstance(out, tuple) else out
 
         def body(v, xl):
             return spatial_forward(model, v, xl.astype(dtype), axis=axis,

@@ -7,11 +7,13 @@ can use every chip. Convs then need their receptive-field overlap from the
 neighboring shards — exchanged here with `jax.lax.ppermute` over ICI inside a
 `shard_map` region.
 
-This module is the hand-rolled primitive (exact, tested vs the dense conv);
-the production spatially-sharded predictor (infer/spatial.py) instead jits the
-whole model under GSPMD input shardings and lets XLA insert the equivalent
-halo collectives automatically — the idiomatic route. Both are exercised by
-tests/test_spatial.py on an 8-device CPU mesh.
+This module is the primitive used by the production spatially-sharded
+predictor (infer/spatial.py) through its explicit shard_map route. A pure
+GSPMD alternative (jit the whole model under input shardings, let XLA insert
+the halo collectives) was measured to silently diverge (~7e-3) on this
+backend — see the warning in infer/spatial.py:14-18; do not reintroduce it
+without an exactness test. Exercised by tests/test_spatial.py on an 8-device
+CPU mesh.
 """
 
 from __future__ import annotations

@@ -27,10 +27,14 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None,
                local_device_ids: Optional[Sequence[int]] = None) -> None:
     """jax.distributed.initialize wrapper (no-op if already initialized or
-    single-process with no coordinator given)."""
-    if jax.process_count() > 1:
-        return
+    single-process with no coordinator given).
+
+    Must not touch any backend-initializing jax API (jax.devices,
+    jax.process_count, ...) before jax.distributed.initialize — doing so
+    initializes the local XLA backend and makes distributed init raise."""
     if coordinator_address is None and num_processes in (None, 1):
+        return
+    if jax.distributed.is_initialized():
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
@@ -50,10 +54,20 @@ def make_global_mesh(axes: Tuple[str, str] = ("dcn", "data")) -> Mesh:
 
 def shard_files_for_process(files: Sequence, process_id: Optional[int] = None,
                             num_processes: Optional[int] = None) -> list:
-    """Strided per-host dataset partition (each host loads only its cases)."""
+    """Strided per-host dataset partition (each host loads only its cases).
+
+    Every host must see the SAME number of cases — a host with one extra
+    batch would enter a gradient psum the others never reach (distributed
+    hang) and break make_global_batch's equal-local-shape requirement. When
+    the case count doesn't divide, the tail wraps around (standard DP sample
+    duplication)."""
     pid = jax.process_index() if process_id is None else process_id
     n = jax.process_count() if num_processes is None else num_processes
-    return list(files)[pid::n]
+    files = list(files)
+    if not files or n <= 1:
+        return files
+    per_host = -(-len(files) // n)  # ceil
+    return [files[(pid + n * i) % len(files)] for i in range(per_host)]
 
 
 def global_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
