@@ -17,8 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+# go through the production wrapper (regression: it used to touch
+# jax.process_count() first, initializing the backend and making
+# distributed init raise on every real multi-host launch)
+from vs_seg_tpu.parallel.distributed import initialize  # noqa: E402
+
+initialize(coordinator_address=f"127.0.0.1:{port}",
+           num_processes=nproc, process_id=pid)
+assert jax.distributed.is_initialized()
 
 import numpy as np  # noqa: E402
 import jax.random as jrandom  # noqa: E402
