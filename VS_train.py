@@ -70,8 +70,9 @@ def main(argv=None):
             DeviceCachedDataset(train_ds.cache, cfg.pad_crop_shape),
             batch_size=cfg.train_batch_size, shuffle=True, seed=cfg.seed)
         val_loader = DeviceLoader(
-            DeviceCachedDataset(val_ds.cache, cfg.pad_crop_shape), batch_size=1,
-            seed=cfg.seed + 1)
+            DeviceCachedDataset(val_ds.cache, cfg.pad_crop_shape,
+                                augment=False),  # val never flips (ref :228)
+            batch_size=1, seed=cfg.seed + 1)
     else:
         train_loader = DataLoader(train_ds, batch_size=cfg.train_batch_size,
                                   shuffle=True, seed=cfg.seed,

@@ -87,3 +87,38 @@ def test_device_pipeline_trains(rng):
         state = trainer.init_state()
         state, losses, metrics = trainer.fit(state, loader, loader)
         assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_device_cache_heterogeneous_shapes(rng):
+    """SpatialPad only lower-bounds shapes; volumes above the floor must
+    stack (end-padded) with crops drawn only from each volume's true extent."""
+    shapes = [(20, 18, 10), (24, 18, 12), (20, 22, 10)]
+    samples = []
+    for s in shapes:
+        img = rng.normal(size=(1, *s)).astype(np.float32) + 10.0  # all >> 0
+        lbl = (rng.random((1, *s)) > 0.7).astype(np.float32)
+        samples.append({"image": img, "label": lbl})
+    ds = DeviceCachedDataset(samples, (8, 8, 4))
+    for i in range(3):
+        for seed in range(4):
+            img, _ = ds.sample(i, jax.random.key(seed))
+            got = np.asarray(img, dtype=np.float32)
+            assert got.shape == (1, 4, 8, 8, 1)
+            # crops never touch the zero padding (source values are all >= ~5)
+            assert got.min() > 1.0, (i, seed, got.min())
+
+
+def test_device_cache_no_augment_is_deterministic_crop_only(rng):
+    """augment=False (validation): no flip — the crop appears UNFLIPPED."""
+    samples = _samples(rng, n=1, shape=(12, 12, 8))
+    ds = DeviceCachedDataset(samples, (8, 8, 4), augment=False)
+    src = np.transpose(samples[0]["image"][0], (2, 0, 1))  # (D, H, W)
+    for seed in range(8):
+        img, _ = ds.sample(0, jax.random.key(seed))
+        got = np.asarray(img[0, :, :, :, 0], dtype=np.float32)
+        found = any(
+            np.allclose(src[d0:d0 + 4, h0:h0 + 8, w0:w0 + 8], got, atol=0.02)
+            for d0 in range(src.shape[0] - 3)
+            for h0 in range(src.shape[1] - 7)
+            for w0 in range(src.shape[2] - 7))
+        assert found, f"unflipped crop not found (seed {seed})"

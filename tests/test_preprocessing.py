@@ -62,10 +62,17 @@ def write_rtstruct(path, contours_lps, roi_name="VS_tumor", series_uid="1.2.3"):
     roi_contour = _item(
         _el(0x3006, 0x0040, b"SQ", contour_items)
         + _el(0x3006, 0x0084, b"IS", _txt("1")))
+    # real TCIA RTSTRUCT nesting: the referenced image SeriesInstanceUID
+    # lives in ReferencedFrameOfReference > RTReferencedStudy >
+    # RTReferencedSeries — NOT in a top-level element
+    ref_series = _item(_el(0x0020, 0x000E, b"UI", _txt(series_uid)))
+    ref_study = _item(_el(0x0008, 0x1155, b"UI", _txt("1.2.840.999.1"))
+                      + _el(0x3006, 0x0014, b"SQ", ref_series))
+    ref_for = _item(_el(0x0020, 0x0052, b"UI", _txt("1.2.840.999.2"))
+                    + _el(0x3006, 0x0012, b"SQ", ref_study))
     body = b""
     body += _el(0x0008, 0x0060, b"CS", _txt("RTSTRUCT"))
-    body += _el(0x3006, 0x0010, b"SQ", _item(
-        _el(0x3006, 0x0024, b"UI", _txt(series_uid))))
+    body += _el(0x3006, 0x0010, b"SQ", ref_for)
     body += _el(0x3006, 0x0020, b"SQ", roi_seq)
     body += _el(0x3006, 0x0039, b"SQ", roi_contour)
     meta_el = _el(0x0002, 0x0010, b"UI", _txt("1.2.840.10008.1.2.1"))
@@ -159,3 +166,39 @@ def test_build_bids_dataset(dicom_case, tmp_path):
     seg_dir = os.path.join(out, "derivatives", "manual_segmentations",
                            "sub-001", "ses-preop", "anat")
     assert os.listdir(seg_dir)
+
+
+def test_restructure_tcia_pairs_rtss_exactly(tmp_path, rng):
+    """RTSS-to-series pairing via the nested RT Referenced Study/Series
+    sequences, with prefix-adversarial UIDs ('...1.1' vs '...1.10'): each
+    series folder must receive exactly its own RTSS."""
+    root = tmp_path / "tcia"
+    case = root / "VS-SEG-001"
+    t1_uid, t2_uid = "1.2.826.0.1.1", "1.2.826.0.1.10"  # prefix pair
+    for tag, uid, sub in [("t1", t1_uid, "a"), ("t2", t2_uid, "b")]:
+        d = case / sub
+        d.mkdir(parents=True)
+        for k in range(2):
+            write_mr_slice(str(d / f"IMG{k:04d}.dcm"),
+                           rng.integers(0, 100, size=(8, 8)).astype(np.int16),
+                           ipp=(0, 0, 2.0 * k), iop=(1, 0, 0, 0, 1, 0),
+                           spacing=(1.0, 1.0), series_uid=uid,
+                           sop_uid=f"{uid}.{k}", desc=f"{tag} image")
+        pts = np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [2.0, 2.0, 0.0]])
+        write_rtstruct(str(d / "RTSS.dcm"), [pts], roi_name=f"vs_{tag}",
+                       series_uid=uid)
+    out = tmp_path / "out"
+    created = convert.restructure_tcia(str(root), str(out))
+    assert sorted(os.path.basename(c) for c in created) == [
+        "vs_gk_1_t1", "vs_gk_1_t2"]
+    for tag, uid in [("t1", t1_uid), ("t2", t2_uid)]:
+        dest = out / f"vs_gk_1_{tag}"
+        assert (dest / "RTSS.dcm").exists(), f"{tag}: RTSS not paired"
+        names = sorted(os.listdir(dest))
+        assert names == ["IMG0000.dcm", "IMG0001.dcm", "RTSS.dcm"]
+        # the copied RTSS must reference THIS series (prefix-safety)
+        ds = read_dicom(str(dest / "RTSS.dcm"))
+        ref = ds["ReferencedFrameOfReferenceSequence"][0][
+            "RTReferencedStudySequence"][0][
+            "RTReferencedSeriesSequence"][0]["SeriesInstanceUID"]
+        assert ref == uid

@@ -46,6 +46,10 @@ def load_split_csv(split_csv: str, dataset: str, data_root: str
         for row in csv.reader(f):
             if not row:
                 continue
+            if len(row) < 2:
+                raise ValueError(
+                    f"malformed split row {row!r} in {split_csv}: expected "
+                    "'case_id,split'")
             case, split = row[0].strip(), row[1].strip()
             base = os.path.join(data_root, "input_data", case)
             entry = {
@@ -172,4 +176,6 @@ class DataLoader:
                     pending.append(pool.submit(self._make_batch, *nxt))
                 yield batch
         finally:
-            pool.shutdown(wait=False)
+            # cancel queued decodes too: abandoning an epoch early must not
+            # leave prefetch tasks burning CPU in leaked threads
+            pool.shutdown(wait=False, cancel_futures=True)

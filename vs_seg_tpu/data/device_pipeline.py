@@ -7,6 +7,12 @@ each step (reference DataLoader + .to(device), params/VSparams.py:311-318,
 bf16, 2x smaller), and each step's batch is gathered/cropped/flipped on the
 TPU from the cached arrays. Semantics match the host transforms
 (RandSpatialCrop random_center + RandFlipd axis 0 = H; tests pin equivalence).
+
+Heterogeneous volume shapes (SpatialPad only enforces a LOWER bound) are
+stacked by end-padding every volume to the elementwise max shape; crop starts
+are drawn within each volume's true extent, so padding is never sampled. The
+flip is applied to the cropped window — for a uniform crop start this is
+distributionally identical to the host order (flip volume, then crop).
 """
 
 from __future__ import annotations
@@ -23,27 +29,46 @@ class DeviceCachedDataset:
     """Samples ((C, H, W, D) host dicts, e.g. CacheDataset.cache after the
     deterministic pad prefix) stacked into HBM as (N, D, H, W, C) — the
     model's global layout (nn/layers.py). `crop_shape` is reference-order
-    (H, W, D) like pad_crop_shape (params/VSparams.py:77)."""
+    (H, W, D) like pad_crop_shape (params/VSparams.py:77).
+
+    `augment=False` disables the random L-R flip (validation uses the random
+    crop but, like the reference val pipeline, never flips)."""
 
     def __init__(self, samples: Sequence[dict],
-                 crop_shape: Tuple[int, int, int], image_dtype=None):
+                 crop_shape: Tuple[int, int, int], image_dtype=None,
+                 augment: bool = True):
         import ml_dtypes
         if image_dtype is None:
             image_dtype = ml_dtypes.bfloat16
-        imgs = np.stack([np.transpose(np.asarray(s["image"], np.float32),
-                                      (3, 1, 2, 0)) for s in samples])
-        lbls = np.stack([np.transpose(np.asarray(s["label"]), (3, 1, 2, 0))
-                         for s in samples])
-        self.images = jnp.asarray(imgs.astype(image_dtype))
-        self.labels = jnp.asarray(lbls.astype(np.uint8))
+        imgs = [np.transpose(np.asarray(s["image"], np.float32), (3, 1, 2, 0))
+                for s in samples]
+        lbls = [np.transpose(np.asarray(s["label"]), (3, 1, 2, 0))
+                for s in samples]
+        extents = np.asarray([im.shape[:3] for im in imgs], np.int32)
+        max_shape = extents.max(axis=0)
+
+        def pad_to(a):
+            pad = [(0, int(m) - s) for m, s in zip(max_shape, a.shape[:3])]
+            return np.pad(a, pad + [(0, 0)])
+
+        self.images = jnp.asarray(np.stack([pad_to(a) for a in imgs])
+                                  .astype(image_dtype))
+        self.labels = jnp.asarray(np.stack([pad_to(a) for a in lbls])
+                                  .astype(np.uint8))
+        self.extents = jnp.asarray(extents)  # per-volume true (D, H, W)
         ch, cw, cd = (int(v) for v in crop_shape)
         self.crop_dhw = (cd, ch, cw)
+        self.augment = bool(augment)
+        for i, (D, H, W) in enumerate(extents):
+            assert D >= cd and H >= ch and W >= cw, (
+                f"volume {i} extent {(D, H, W)} smaller than crop "
+                f"{self.crop_dhw} — SpatialPad should have padded it")
 
     def __len__(self) -> int:
         return int(self.images.shape[0])
 
     @partial(jax.jit, static_argnums=0)
-    def _gather(self, images, labels, idx, keys):
+    def _gather(self, images, labels, extents, idx, keys):
         cd, ch, cw = self.crop_dhw
         C = images.shape[-1]
 
@@ -51,16 +76,19 @@ class DeviceCachedDataset:
             kd, kh, kw, kf = jax.random.split(key, 4)
             img = images[i]
             lbl = labels[i]
-            D, H, W = img.shape[0], img.shape[1], img.shape[2]
+            D, H, W = extents[i, 0], extents[i, 1], extents[i, 2]
             d0 = jax.random.randint(kd, (), 0, D - cd + 1)
             h0 = jax.random.randint(kh, (), 0, H - ch + 1)
             w0 = jax.random.randint(kw, (), 0, W - cw + 1)
             win = jax.lax.dynamic_slice(img, (d0, h0, w0, 0), (cd, ch, cw, C))
             lwin = jax.lax.dynamic_slice(lbl, (d0, h0, w0, 0),
                                          (cd, ch, cw, lbl.shape[-1]))
-            flip = jax.random.bernoulli(kf)
-            win = jax.lax.cond(flip, lambda a: jnp.flip(a, 1), lambda a: a, win)
-            lwin = jax.lax.cond(flip, lambda a: jnp.flip(a, 1), lambda a: a, lwin)
+            if self.augment:
+                flip = jax.random.bernoulli(kf)
+                win = jax.lax.cond(flip, lambda a: jnp.flip(a, 1),
+                                   lambda a: a, win)
+                lwin = jax.lax.cond(flip, lambda a: jnp.flip(a, 1),
+                                    lambda a: a, lwin)
             return win, lwin
 
         return jax.vmap(one)(idx, keys)
@@ -69,13 +97,15 @@ class DeviceCachedDataset:
         """index: int or int array -> ((B, cd, ch, cw, C) image, label)."""
         idx = jnp.atleast_1d(jnp.asarray(index, jnp.int32))
         keys = jax.random.split(key, idx.shape[0])
-        return self._gather(self.images, self.labels, idx, keys)
+        return self._gather(self.images, self.labels, self.extents, idx, keys)
 
 
 class DeviceLoader:
     """Epoch iterable over a DeviceCachedDataset: yields (image, label)
     device tuples; every epoch draws fresh crop/flip randomness (folded
-    epoch counter) and a fresh shuffle order."""
+    epoch counter) and a fresh shuffle order. The final partial batch is
+    yielded (torch DataLoader drop_last=False semantics); it compiles one
+    extra program for its size."""
 
     def __init__(self, dataset: DeviceCachedDataset, batch_size: int = 1,
                  shuffle: bool = False, seed: int = 0):
@@ -86,7 +116,7 @@ class DeviceLoader:
         self._epoch = 0
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self):
         epoch = self._epoch

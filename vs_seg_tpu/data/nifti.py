@@ -119,8 +119,11 @@ def load(path: str, dtype=np.float32) -> NiftiImage:
         arr = np.frombuffer(payload, dtype=disk_dtype, count=count)
         return NiftiImage(arr.reshape(shape, order="F").copy(), affine)
 
-    eff_slope = slope if slope not in (0.0,) else 1.0
-    eff_inter = inter if slope not in (0.0,) else 0.0
+    # nibabel semantics: non-finite or zero scl_slope means "no scaling"
+    # (several tools emit NaN slopes; applying one would NaN the volume)
+    use_scl = np.isfinite(slope) and slope != 0.0 and np.isfinite(inter)
+    eff_slope = slope if use_scl else 1.0
+    eff_inter = inter if use_scl else 0.0
     flat: Optional[np.ndarray] = None
     if datatype in _NATIVE_CODES:
         flat = _native.convert_to_float32(payload, count, datatype,

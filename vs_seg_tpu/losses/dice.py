@@ -140,12 +140,6 @@ def generalized_wasserstein_dice_loss(pred, target, dist_matrix,
     return jnp.mean(1.0 - wass_dice)
 
 
-def _maxpool3d(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
-    """MaxPool3d(kernel=stride=window) on (B, H, W, D, C)."""
-    dims = (1, *window, 1)
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, dims, "VALID")
-
-
 def _maxpool3d_squeezed(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
     """MaxPool3d(kernel=stride=window) on squeezed (B, S0, S1, S2)."""
     dims = (1, *window)

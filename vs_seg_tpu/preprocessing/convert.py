@@ -183,7 +183,7 @@ def restructure_tcia(input_root: str, output_root: str) -> List[str]:
                     continue
                 path = os.path.join(dirpath, fname)
                 try:
-                    ds = read_dicom(path)
+                    ds = read_dicom(path, headers_only=True)
                 except Exception:
                     continue
                 modality = str(ds.get("Modality", ""))
@@ -205,26 +205,28 @@ def restructure_tcia(input_root: str, output_root: str) -> List[str]:
             os.makedirs(dest, exist_ok=True)
             for i, f in enumerate(sorted(info["files"])):
                 shutil.copy(f, os.path.join(dest, f"IMG{i:04d}.dcm"))
-            # pair RTSTRUCT referencing this series
+            # pair RTSTRUCT referencing this series: exact-match against the
+            # SET of UIDs referenced anywhere in the RTSS (incl. the nested
+            # RT Referenced Study/Series sequences). Substring matching on a
+            # serialized dump was prefix-unsafe ('...1.1' matches '...1.10').
             for path, ds in rtss:
-                refs = json.dumps(_collect_uids(ds))
-                if uid in refs:
+                if uid in _collect_uids(ds):
                     shutil.copy(path, os.path.join(dest, "RTSS.dcm"))
             created.append(dest)
     return created
 
 
-def _collect_uids(node) -> List[str]:
-    uids = []
+def _collect_uids(node) -> set:
+    uids = set()
     if isinstance(node, dict):
         for k, v in node.items():
             if k.endswith("UID") and isinstance(v, str):
-                uids.append(v)
+                uids.add(v)
             else:
-                uids.extend(_collect_uids(v))
+                uids |= _collect_uids(v)
     elif isinstance(node, list):
         for v in node:
-            uids.extend(_collect_uids(v))
+            uids |= _collect_uids(v)
     return uids
 
 

@@ -40,6 +40,13 @@ TAGS = {
     # RTSTRUCT
     (0x3006, 0x0002): "StructureSetLabel",
     (0x3006, 0x0010): "ReferencedFrameOfReferenceSequence",
+    # RT Referenced Study/Series nesting: real TCIA RTSTRUCTs carry the
+    # referenced image SeriesInstanceUID inside (0x3006,0x0012)/(0x3006,
+    # 0x0014) items — without these names the parser drops the items and
+    # RTSS-to-series pairing can never match
+    (0x3006, 0x0012): "RTReferencedStudySequence",
+    (0x3006, 0x0014): "RTReferencedSeriesSequence",
+    (0x3006, 0x0016): "ContourImageSequence",
     (0x3006, 0x0020): "StructureSetROISequence",
     (0x3006, 0x0026): "ROIName",
     (0x3006, 0x0022): "ROINumber",
@@ -177,12 +184,15 @@ def _guess_vr(name: str) -> bytes:
     return b"LO"
 
 
-def read_dicom(path: str) -> DicomDataset:
+def read_dicom(path: str, headers_only: bool = False) -> DicomDataset:
+    """Parse a DICOM file. `headers_only` stops at PixelData — routing /
+    classification passes over multi-GB downloads don't need the payloads."""
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 132 or buf[128:132] != b"DICM":
         # some files lack the preamble; try parsing from 0 as implicit VR
-        ds, _ = _parse_elements(buf, 0, len(buf), implicit=True)
+        ds, _ = _parse_elements(buf, 0, len(buf), implicit=True,
+                                stop_at_pixel_data=headers_only)
         return ds
     # file meta info (group 0002) is always explicit VR little endian
     meta, pos = _parse_file_meta(buf, 132)
@@ -194,7 +204,8 @@ def read_dicom(path: str) -> DicomDataset:
     else:
         # compressed transfer syntaxes unsupported; parse headers anyway
         implicit = False
-    ds, _ = _parse_elements(buf, pos, len(buf), implicit)
+    ds, _ = _parse_elements(buf, pos, len(buf), implicit,
+                            stop_at_pixel_data=headers_only)
     ds["TransferSyntaxUID"] = tsuid
     return ds
 
