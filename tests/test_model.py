@@ -152,3 +152,21 @@ def test_convert_checkpoint_cli(tmp_path):
     from vs_seg_tpu.train.checkpoint import load_checkpoint
     state = load_checkpoint(dst)
     assert "params" in state and "batch_stats" in state
+
+
+def test_build_model_factory_variants():
+    """All three shipped model classes are reachable from config."""
+    from vs_seg_tpu.core.config import Config
+    from vs_seg_tpu.models import build_model
+    from vs_seg_tpu.models.unet import UNet
+    from vs_seg_tpu.models.unet2d5 import UNet2d5
+    from vs_seg_tpu.models.unet2d5_spvpa import UNet2d5_spvPA
+    import pytest
+    base = dict(channels=(4, 8, 12), strides=((2, 2, 1), (2, 2, 2)),
+                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+                sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    assert isinstance(build_model(Config(**base)), UNet2d5_spvPA)
+    assert isinstance(build_model(Config(model="UNet2d5", **base)), UNet2d5)
+    assert isinstance(build_model(Config(model="UNet", **base)), UNet)
+    with pytest.raises(ValueError, match="unknown cfg.model"):
+        build_model(Config(model="nope", **base))

@@ -16,4 +16,20 @@ def build_model(cfg):
             attention_module=cfg.attention, dtype=dtype,
             remat=getattr(cfg, "remat", False),
         )
-    raise Exception("Model not defined.")
+    if cfg.model == "UNet2d5":
+        return UNet2d5(
+            out_channels=cfg.out_channels, channels=tuple(cfg.channels),
+            strides=tuple(cfg.strides), kernel_sizes=tuple(cfg.kernel_sizes),
+            sample_kernel_sizes=tuple(cfg.sample_kernel_sizes),
+            num_res_units=cfg.num_res_units, dropout=cfg.dropout, dtype=dtype,
+        )
+    if cfg.model == "UNet":
+        return UNet(
+            out_channels=cfg.out_channels, channels=tuple(cfg.channels),
+            strides=tuple(s[0] if isinstance(s, (tuple, list)) else s
+                          for s in cfg.strides),
+            num_res_units=cfg.num_res_units, dropout=cfg.dropout, dtype=dtype,
+        )
+    raise ValueError(
+        f"unknown cfg.model {cfg.model!r}; supported: UNet2d5_spvPA, "
+        "UNet2d5, UNet")

@@ -72,11 +72,23 @@ def read_file_bytes(path: str) -> Optional[bytes]:
         lib.nd_free(buf)
 
 
+# NIFTI datatype code -> element byte size (codes mirrored from the C
+# converter's switch in nifti_decode.cc)
+_DTYPE_SIZES = {2: 1, 4: 2, 8: 4, 16: 4, 64: 8, 256: 1, 512: 2, 768: 4,
+                1024: 8}
+
+
 def convert_to_float32(payload: bytes, count: int, datatype: int,
                        slope: float, inter: float) -> Optional[np.ndarray]:
     """Native dtype conversion + scl scaling; None if unavailable."""
     lib = _load()
     if lib is None:
+        return None
+    itemsize = _DTYPE_SIZES.get(datatype)
+    if itemsize is None or len(payload) < count * itemsize:
+        # truncated/corrupt payload: the C converter takes no buffer length
+        # and would read out of bounds; fall back to the numpy path, which
+        # raises a clean ValueError
         return None
     out = np.empty(count, dtype=np.float32)
     src = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)

@@ -103,11 +103,6 @@ def _blend_kernel(starts_ref, mask_ref,        # scalar prefetch: (N,3) i32, (N,
     cpw.wait()
 
 
-def blend_supported(starts: np.ndarray, roi, vol_hw) -> bool:
-    """Compiled-kernel preconditions: H starts multiples of 8, window rows fit."""
-    return bool(np.all(np.asarray(starts)[:, 1] % 8 == 0))
-
-
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_blend_scatter(out_acc, w_acc, preds, starts, mask, importance,
                          interpret: bool = False):
@@ -123,8 +118,10 @@ def pallas_blend_scatter(out_acc, w_acc, preds, starts, mask, importance,
     D, H, W, _ = out_acc.shape
     out_v = out_acc.reshape(D, H, W * oc)
     # Mosaic wants lane-aligned (128-multiple) minor dims for the dynamic
-    # rolls; pad the weight view (W is often not a 128 multiple; W*oc usually
-    # is for the reference shapes — asserted by the caller via blend_supported)
+    # rolls; pad the weight view. W is often not a 128 multiple; W*oc must
+    # be — the auto-enable gate in infer/sliding_window.py checks every
+    # precondition (dfirst, TPU, h-starts % 8, roi alignment, (W*oc) % 128)
+    # and falls back to the XLA scatter otherwise
     Wp = -(-W // 128) * 128
     w_v = w_acc.reshape(D, H, W)
     if Wp != W:

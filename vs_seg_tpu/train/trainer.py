@@ -146,14 +146,25 @@ def to_device_batch(batch, mesh=None, image_dtype=None):
     label = np.ascontiguousarray(np.transpose(batch["label"], (0, 4, 2, 3, 1)))
     if image_dtype is not None:
         image = image.astype(image_dtype)
-    if np.all(np.mod(label, 1) == 0) and label.min() >= 0 and label.max() < 256:
-        label = label.astype(np.uint8)
+    if label.dtype != np.uint8:
+        # uint8 round-trip check (2 host passes, vs 5 for a mod/min/max scan
+        # — this runs on the critical host thread every step)
+        cast = label.astype(np.uint8)
+        if np.array_equal(cast, label):
+            label = cast
     if mesh is not None and jax.process_count() > 1:
         # multi-host: `batch` is this process's LOCAL slice of the global
         # batch (dataset sharded per host); assemble the global jax.Array
         from vs_seg_tpu.parallel.distributed import make_global_batch
-        if image.shape[0] % jax.local_device_count() == 0:
-            return make_global_batch(mesh, (image, label))
+        if image.shape[0] % jax.local_device_count() != 0:
+            # NEVER fall through: each host would train on process-local
+            # arrays jit treats as replicated — no gradient reduction,
+            # silent cross-host parameter divergence
+            raise ValueError(
+                f"multi-host per-process batch {image.shape[0]} must be a "
+                f"multiple of the local device count "
+                f"{jax.local_device_count()} (pad or drop the final batch)")
+        return make_global_batch(mesh, (image, label))
     if mesh is not None and image.shape[0] % mesh.devices.size == 0:
         sharding = batch_sharding(mesh, image.ndim)
         return (jax.device_put(image, sharding), jax.device_put(label, sharding))
@@ -191,6 +202,18 @@ class Trainer:
             "best_metric": -1.0,
             "best_metric_epoch": -1,
         }
+
+    def _reshard_device_batch(self, batch):
+        """Shard an already-on-device (image, label) pair over the mesh data
+        axis (device-to-device copy; no-op on one chip or indivisible
+        batches, which run replicated)."""
+        image, label = batch
+        if (self.mesh is None or self.mesh.devices.size <= 1
+                or image.shape[0] % self.mesh.devices.size != 0):
+            return image, label
+        sharding = batch_sharding(self.mesh, image.ndim)
+        return (jax.device_put(image, sharding),
+                jax.device_put(label, sharding))
 
     def _set_lr(self, opt_state, lr: float):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -244,7 +267,10 @@ class Trainer:
             step_losses, step_count = [], 0
             for batch in train_loader:
                 if isinstance(batch, tuple):
-                    image, label = batch  # device pipeline (HBM-cached crops)
+                    # device pipeline (HBM-cached crops): reshard over the
+                    # mesh data axis — the gather jit commits its outputs to
+                    # one device, which would silently idle the other chips
+                    image, label = self._reshard_device_batch(batch)
                 else:
                     image, label = to_device_batch(
                         batch, self.mesh, image_dtype=self._transfer_dtype)
@@ -266,7 +292,7 @@ class Trainer:
                 metric_sum, metric_count, val_loss, val_steps = 0.0, 0, 0.0, 0
                 for val_batch in val_loader:
                     if isinstance(val_batch, tuple):
-                        image, label = val_batch
+                        image, label = self._reshard_device_batch(val_batch)
                     else:
                         image, label = to_device_batch(
                             val_batch, self.mesh,
