@@ -30,7 +30,7 @@ ROI = (384, 384, 64)
 SW_BATCH = 8
 WARMUP = 1
 ITERS = 4
-REPS = 6
+REPS = 8
 
 # Conservative measured-estimate anchor for the reference pipeline
 # (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this
