@@ -22,20 +22,38 @@ from vs_seg_tpu.models import build_model
 
 
 def load_model_state(cfg, model):
-    """best_metric_model.ckpt (ours) or best_metric_model.pth (reference)."""
+    """best_metric_model.ckpt (ours) or best_metric_model.pth (reference).
+
+    The loaded parameter tree is validated against `model`'s expected
+    structure/shapes — a checkpoint from a different architecture config
+    fails loudly here instead of at trace time deep inside the first step."""
     ckpt_path = os.path.join(cfg.model_path, "best_metric_model.ckpt")
     pth_path = os.path.join(cfg.model_path, "best_metric_model.pth")
     if os.path.exists(ckpt_path):
         from vs_seg_tpu.train.checkpoint import load_checkpoint
         state = load_checkpoint(ckpt_path)
-        return state["params"], state["batch_stats"]
-    if os.path.exists(pth_path):
+        params, stats = state["params"], state["batch_stats"]
+    elif os.path.exists(pth_path):
         from vs_seg_tpu.compat.torch_import import import_unet2d5_spvpa, load_pth
         params, stats = import_unet2d5_spvpa(
             load_pth(pth_path), channels=tuple(cfg.channels),
             num_res_units=cfg.num_res_units, attention=cfg.attention)
-        return params, stats
-    raise FileNotFoundError(f"no checkpoint under {cfg.model_path}")
+    else:
+        raise FileNotFoundError(f"no checkpoint under {cfg.model_path}")
+
+    import jax
+    from vs_seg_tpu.train.trainer import init_model, minimal_input_shape
+    expect = jax.eval_shape(
+        lambda: init_model(model, 0, input_shape=minimal_input_shape(model)))
+    got_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), params)
+    want_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape),
+                                         expect["params"])
+    if got_shapes != want_shapes:
+        raise ValueError(
+            "checkpoint parameter tree does not match the configured model "
+            f"architecture (cfg: channels={cfg.channels}, "
+            f"attention={cfg.attention})")
+    return params, stats
 
 
 def main(argv=None):

@@ -28,7 +28,9 @@ def segmentation_volume_ml(labelmap, affine) -> float:
     is the standard companion metric for VS growth assessment)."""
     import numpy as np
     voxel_mm3 = abs(float(np.linalg.det(np.asarray(affine)[:3, :3])))
-    count = float(np.asarray(labelmap, dtype=np.float64).sum())
+    # count FOREGROUND voxels (any non-background class) — summing raw class
+    # indices would double-count class-2 voxels in multi-class configs
+    count = float(np.count_nonzero(np.asarray(labelmap)))
     return count * voxel_mm3 / 1000.0
 
 

@@ -136,7 +136,10 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
                     staged, cfg.sliding_window_inferer_roi_size, predictor,
                     overlap=cfg.sw_overlap, sw_batch_size=per_dev,
                     mode="gaussian", predictor_layout="dfirst")
-            outputs.block_until_ready()
+            # sync via scalar readback: block_until_ready is a no-op on
+            # relay-tunneled platforms (CLAUDE.md), which would make these
+            # times measure dispatch latency only
+            float(jnp.sum(outputs[..., 0]))
             times.append(time.perf_counter() - t0)
 
             dice = float(dice_score(outputs[None].astype(jnp.float32),

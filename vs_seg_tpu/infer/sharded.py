@@ -13,7 +13,7 @@ Works identically on a host-simulated CPU mesh (tests) and a real slice.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -24,6 +24,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vs_seg_tpu.infer.sliding_window import (
     StagedVolume, _importance_map_device, stage_volume,
 )
+
+
+@lru_cache(maxsize=32)
+def _sharded_program(predictor, mesh, axis, roi, local_batches, sw_batch_size):
+    """Build (and cache) the jitted shard_map window program. Rebuilding the
+    closure per volume would key a fresh jit cache entry each call — a full
+    retrace per volume (minutes on a remote-compile platform). The lru_cache
+    holds at most 32 (predictor, config) programs; a long-lived process
+    cycling many predictors evicts the oldest."""
+
+    def per_device(vol, starts_l, mask_l, imp):
+        s0, s1, s2, c = vol.shape
+
+        def varying(x):
+            # accumulators differ per device; mark them as varying over the
+            # mesh axis so scan/fori carries typecheck under shard_map
+            return jax.lax.pcast(x, (axis,), to="varying")
+
+        out_acc = None
+        w_acc = varying(jnp.zeros((s0, s1, s2, 1), jnp.float32))
+        for b in range(local_batches):
+            sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
+            bs = starts_l[sl]
+
+            def gather(start):
+                return jax.lax.dynamic_slice(
+                    vol, (start[0], start[1], start[2], 0), (*roi, c))
+
+            wins = jax.vmap(gather)(bs)
+            preds = predictor(wins).astype(jnp.float32)
+            if out_acc is None:
+                out = varying(jnp.zeros((s0, s1, s2, preds.shape[-1]),
+                                        jnp.float32))
+            else:
+                out = out_acc
+            impw = imp[None, ..., None] * mask_l[sl][:, None, None, None, None]
+            weighted = preds * impw
+
+            def scatter(i, carry):
+                out, w = carry
+                idx = (bs[i, 0], bs[i, 1], bs[i, 2], 0)
+                cur = jax.lax.dynamic_slice(out, idx, (*roi, preds.shape[-1]))
+                out = jax.lax.dynamic_update_slice(out, cur + weighted[i], idx)
+                cur_w = jax.lax.dynamic_slice(w, idx, (*roi, 1))
+                w = jax.lax.dynamic_update_slice(w, cur_w + impw[i], idx)
+                return out, w
+
+            out_acc, w_acc = jax.lax.fori_loop(
+                0, sw_batch_size, scatter, (out, w_acc))
+        out_acc = jax.lax.psum(out_acc, axis)
+        w_acc = jax.lax.psum(w_acc, axis)
+        return out_acc / w_acc
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P()))
 
 
 def sliding_window_inference_sharded(
@@ -63,50 +120,8 @@ def sliding_window_inference_sharded(
     mask = np.zeros(total, np.float32)
     mask[:n_pad] = staged.mask
 
-    def per_device(vol, starts_l, mask_l, imp):
-        def varying(x):
-            # accumulators differ per device; mark them as varying over the
-            # mesh axis so scan/fori carries typecheck under shard_map
-            return jax.lax.pcast(x, (axis,), to="varying")
-
-        out_acc = None
-        w_acc = varying(jnp.zeros((s0, s1, s2, 1), jnp.float32))
-        for b in range(local_batches):
-            sl = slice(b * sw_batch_size, (b + 1) * sw_batch_size)
-            bs = starts_l[sl]
-
-            def gather(start):
-                return jax.lax.dynamic_slice(
-                    vol, (start[0], start[1], start[2], 0), (*roi, c))
-
-            wins = jax.vmap(gather)(bs)
-            preds = predictor(wins).astype(jnp.float32)
-            if out_acc is None:
-                out = varying(jnp.zeros((s0, s1, s2, preds.shape[-1]), jnp.float32))
-            else:
-                out = out_acc
-            impw = imp[None, ..., None] * mask_l[sl][:, None, None, None, None]
-            weighted = preds * impw
-
-            def scatter(i, carry):
-                out, w = carry
-                idx = (bs[i, 0], bs[i, 1], bs[i, 2], 0)
-                cur = jax.lax.dynamic_slice(out, idx, (*roi, preds.shape[-1]))
-                out = jax.lax.dynamic_update_slice(out, cur + weighted[i], idx)
-                cur_w = jax.lax.dynamic_slice(w, idx, (*roi, 1))
-                w = jax.lax.dynamic_update_slice(w, cur_w + impw[i], idx)
-                return out, w
-
-            out_acc, w_acc = jax.lax.fori_loop(
-                0, sw_batch_size, scatter, (out, w_acc))
-        out_acc = jax.lax.psum(out_acc, axis)
-        w_acc = jax.lax.psum(w_acc, axis)
-        return out_acc / w_acc
-
-    sharded = jax.jit(jax.shard_map(
-        per_device, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P()),
-        out_specs=P()))
+    sharded = _sharded_program(predictor, mesh, axis, roi, local_batches,
+                               sw_batch_size)
 
     starts_dev = jax.device_put(starts, NamedSharding(mesh, P(axis)))
     mask_dev = jax.device_put(mask, NamedSharding(mesh, P(axis)))

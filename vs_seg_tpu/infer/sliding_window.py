@@ -299,6 +299,21 @@ def _upload_pool():
 _OC_CACHE = {}
 
 
+def clear_inference_caches() -> None:
+    """Release compiled window-loop programs and their captured predictors.
+
+    `_fused_window_loop` jits with the predictor as a STATIC argument, so its
+    cache strongly references every predictor closure (and the model params
+    it captures in HBM). A long-lived process evaluating many checkpoints
+    should call this between predictors to release the old params; a serving
+    loop with one predictor should NOT (it would drop the warm executable).
+    """
+    _OC_CACHE.clear()
+    _fused_window_loop.clear_cache()
+    from vs_seg_tpu.infer import sharded
+    sharded._sharded_program.cache_clear()
+
+
 def _predictor_out_channels(predictor, win_shape, dtype) -> int:
     """Output channel count via one cached eval_shape (tracing the model per
     volume would cost seconds of host time)."""
@@ -400,6 +415,12 @@ def sliding_window_inference(volume, roi_size: Sequence[int],
     imp_dev = _importance_map_device(roi_size, mode, sigma_scale)
     s0, s1, s2 = vol_dev.shape[:3]  # padded volume dims (internal order)
     n_pad = staged.starts_padded.shape[0]
+    assert n_pad % sw_batch_size == 0, (
+        f"staged window list ({n_pad}, padded for "
+        f"stage_volume(sw_batch_size=...)) is not divisible by the inference "
+        f"sw_batch_size={sw_batch_size}: trailing windows would be silently "
+        "dropped (NaN regions). Use the same sw_batch_size for staging and "
+        "inference, or a divisor of the staged padding.")
 
     # Fused Pallas blend-scatter (ops/pallas_blend.py): one VMEM round trip
     # for both accumulators, ~2.7x faster than the XLA dynamic-slice path on

@@ -294,8 +294,15 @@ class Trainer:
                     if isinstance(val_batch, tuple):
                         image, label = self._reshard_device_batch(val_batch)
                     else:
+                        # multi-host: the val set is replicated per host (only
+                        # TRAIN files shard per process, VS_train.py:47), so
+                        # every host evaluates the identical data locally —
+                        # same metrics, consistent best-checkpoint decisions,
+                        # and no global-batch divisibility requirement
+                        val_mesh = (None if jax.process_count() > 1
+                                    else self.mesh)
                         image, label = to_device_batch(
-                            val_batch, self.mesh,
+                            val_batch, val_mesh,
                             image_dtype=self._transfer_dtype)
                     loss, dice = self.eval_step(params, batch_stats, image, label)
                     metric_sum += float(dice)
@@ -335,6 +342,11 @@ class Trainer:
 
     def _save(self, params, batch_stats, opt_state, rng, epoch, best_metric,
               best_metric_epoch, name):
+        if jax.process_index() != 0:
+            # multi-host: params are replicated; concurrent writes to the
+            # same path on a shared filesystem would interleave and corrupt
+            # the checkpoint
+            return
         from flax import serialization
         save_checkpoint(os.path.join(self.cfg.model_path, name), {
             "params": params, "batch_stats": batch_stats,
