@@ -170,3 +170,26 @@ def test_build_model_factory_variants():
     assert isinstance(build_model(Config(model="UNet", **base)), UNet)
     with pytest.raises(ValueError, match="unknown cfg.model"):
         build_model(Config(model="nope", **base))
+
+
+def test_alt_models_train_one_step(rng):
+    """UNet2d5 and UNet (non-tuple outputs) run a full train step."""
+    import jax.numpy as jnp
+    import jax.random as jrandom
+    from vs_seg_tpu.core.config import Config
+    from vs_seg_tpu.models import build_model
+    from vs_seg_tpu.train.trainer import Trainer, wrap_rng_data
+    for name in ("UNet2d5", "UNet"):
+        cfg = Config(model=name, compute_dtype="float32", attention=False,
+                     channels=(4, 8, 12), strides=((2, 2, 1), (2, 2, 2)),
+                     kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+                     sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        state = trainer.init_state()
+        image = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 1)), jnp.float32)
+        label = jnp.asarray((rng.random((1, 4, 16, 16, 1)) > 0.7), jnp.float32)
+        p, bs, o, k, loss = trainer.train_step(
+            state["params"], state["batch_stats"], state["opt_state"],
+            wrap_rng_data(state["rng"]), image, label)
+        assert jnp.isfinite(loss), (name, loss)

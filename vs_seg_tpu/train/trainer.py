@@ -74,7 +74,8 @@ def minimal_input_shape(model, in_channels: int = 1):
     params (eager flax init at 384x384x64 costs minutes on TPU).
     """
     import numpy as np
-    strides = np.asarray([list(s) for s in model.strides])
+    strides = np.asarray([list(s) if isinstance(s, (tuple, list)) else [s] * 3
+                          for s in model.strides])  # UNet uses scalar strides
     h, w, d = (int(v) for v in np.prod(strides, axis=0))  # strides are (H, W, D)
     return (1, d, h, w, in_channels)  # model layout is (B, D, H, W, C)
 
