@@ -21,8 +21,9 @@ import numpy as np
 
 from vs_seg_tpu.data import nifti
 from vs_seg_tpu.eval import figures
-from vs_seg_tpu.eval.metrics import dice_score
-from vs_seg_tpu.infer.sliding_window import sliding_window_inference, stage_volume
+from vs_seg_tpu.eval.metrics import dice_score, segmentation_volume_ml
+from vs_seg_tpu.infer.sliding_window import (
+    count_windows, sliding_window_inference, stage_volume)
 
 
 def make_predictor(model, params, batch_stats, dtype=jnp.bfloat16) -> Callable:
@@ -89,7 +90,6 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
             # reference protocol (~8 windows) on an 8-chip mesh each device
             # gets 1 window — a fixed cfg.sw_batch_size per device would
             # make every chip compute a full batch of mostly masked padding
-            from vs_seg_tpu.infer.sliding_window import count_windows
             n_win = count_windows(image.shape[:3],
                                   cfg.sliding_window_inferer_roi_size,
                                   cfg.sw_overlap)
@@ -151,7 +151,6 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
             pred_argmax = np.asarray(jnp.argmax(outputs, axis=-1).astype(jnp.uint8))
 
             # clinical volumetry (predicted vs ground-truth volume)
-            from vs_seg_tpu.eval.metrics import segmentation_volume_ml
             meta = data["label_meta"][0]
             pred_ml = segmentation_volume_ml(pred_argmax, meta["affine"])
             gt_ml = segmentation_volume_ml(label[..., 0], meta["affine"])

@@ -13,8 +13,8 @@ Works identically on a host-simulated CPU mesh (tests) and a real slice.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Callable, Optional, Sequence
+from functools import lru_cache
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -25,6 +25,7 @@ TPU-first design differences from the reference:
 from __future__ import annotations
 
 import math
+import weakref
 from functools import lru_cache, partial
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -296,7 +297,10 @@ def _upload_pool():
     return _POOL
 
 
-_OC_CACHE = {}
+# predictor -> {(win_shape, dtype): out_channels}; weak keys so a dropped
+# predictor releases its entry (and an id()-recycled function can't inherit a
+# stale count)
+_OC_CACHE = weakref.WeakKeyDictionary()
 
 
 def clear_inference_caches() -> None:
@@ -317,11 +321,12 @@ def clear_inference_caches() -> None:
 def _predictor_out_channels(predictor, win_shape, dtype) -> int:
     """Output channel count via one cached eval_shape (tracing the model per
     volume would cost seconds of host time)."""
-    key = (id(predictor), tuple(win_shape), jnp.dtype(dtype).name)
-    if key not in _OC_CACHE:
-        _OC_CACHE[key] = jax.eval_shape(
+    per_pred = _OC_CACHE.setdefault(predictor, {})
+    key = (tuple(win_shape), jnp.dtype(dtype).name)
+    if key not in per_pred:
+        per_pred[key] = jax.eval_shape(
             predictor, jax.ShapeDtypeStruct(tuple(win_shape), dtype)).shape[-1]
-    return _OC_CACHE[key]
+    return per_pred[key]
 
 
 @partial(jax.jit, static_argnames=("predictor", "sw_batch_size", "use_pallas",

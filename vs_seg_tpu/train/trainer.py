@@ -19,7 +19,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax
