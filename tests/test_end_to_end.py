@@ -144,3 +144,22 @@ def test_inference_spatial_matches_plain(e2e):
     out, _ = run_inference(cfg2, model, state["params"], state["batch_stats"],
                            test_loader, make_figures=False, export=False)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_legacy_threefry_checkpoint_rng_restores():
+    """Checkpoints from before the rbg switch stored 2-word threefry key
+    data; wrap_rng_data must infer the impl from the shape and keep working."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vs_seg_tpu.train.trainer import wrap_rng_data
+    legacy = jax.random.key_data(jax.random.key(7))         # (2,) threefry
+    modern = jax.random.key_data(jax.random.key(7, impl="rbg"))  # (4,) rbg
+    for data in (legacy, modern, np.asarray(legacy)):
+        key = wrap_rng_data(data)
+        a, b = jax.random.split(key)
+        # usable for sampling and folding
+        bits = jax.random.bits(a, (4,), jnp.uint16)
+        assert bits.shape == (4,)
+        assert not jnp.array_equal(jax.random.key_data(a),
+                                   jax.random.key_data(b))
