@@ -75,6 +75,7 @@ class Config:
     sharded_inference: bool = False  # windows data-parallel across the mesh
     spatial_inference: bool = False  # ONE window's H sharded across the mesh
     device_cache: bool = False  # keep training set in HBM, augment on device
+    profile_steps: int = 0  # capture a jax.profiler trace of N steady steps
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
     @property
@@ -162,6 +163,10 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                         help="cache the training set in HBM and run random "
                              "crop/flip on device (TPU extra; zero per-step "
                              "host transfers)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N steady-state "
+                             "training steps into <results>/profile/ "
+                             "(TPU extra; view in TensorBoard/Perfetto)")
     return parser
 
 
@@ -194,6 +199,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         sharded_inference=getattr(args, "sharded_inference", False),
         spatial_inference=getattr(args, "spatial_inference", False),
         device_cache=getattr(args, "device_cache", False),
+        profile_steps=getattr(args, "profile_steps", 0),
     )
 
 

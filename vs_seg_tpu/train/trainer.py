@@ -265,6 +265,12 @@ class Trainer:
                 cfg.lr_divisor ** (epoch // cfg.epochs_with_const_lr))
             opt_state = self._set_lr(opt_state, lr)
 
+            # --profile_steps N: trace steady-state steps (skipping the
+            # compile + first dispatch) of the first epoch into
+            # <results>/profile/ — TensorBoard/Perfetto-compatible
+            profile_steps = int(getattr(cfg, "profile_steps", 0) or 0)
+            profiling = False
+
             step_losses, step_count = [], 0
             for batch in train_loader:
                 if isinstance(batch, tuple):
@@ -275,15 +281,32 @@ class Trainer:
                 else:
                     image, label = to_device_batch(
                         batch, self.mesh, image_dtype=self._transfer_dtype)
+                if (profile_steps and epoch == start_epoch
+                        and step_count == 1 and not profiling):
+                    profile_dir = os.path.join(cfg.results_folder_path,
+                                               "profile")
+                    logger.info("profiling %d steps -> %s", profile_steps,
+                                profile_dir)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 params, batch_stats, opt_state, rng, loss = self.train_step(
                     params, batch_stats, opt_state, rng, image, label)
                 # keep losses on device; syncing per step would serialize
                 # host dispatch with device compute
                 step_losses.append(loss)
                 step_count += 1
+                if profiling and step_count >= 1 + profile_steps:
+                    float(loss)  # sync so the trace captures the full step
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_steps = 0
                 if epoch == start_epoch:
                     logger.info("%d/%d, train_loss: %.4f", step_count,
                                 len(train_loader), float(loss))
+            if profiling:  # epoch shorter than the requested window
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_steps = 0
             epoch_loss = (float(jnp.mean(jnp.stack(step_losses)))
                           if step_losses else 0.0)
             epoch_loss_values.append(epoch_loss)
