@@ -36,3 +36,18 @@ def test_native_dtype_conversion(rng):
     src = rng.integers(-1000, 1000, size=100).astype("<i2")
     out = convert_to_float32(src.tobytes(), 100, 4, 2.0, 5.0)
     np.testing.assert_allclose(out, src.astype(np.float32) * 2.0 + 5.0)
+
+
+def test_multi_member_gzip_decodes_fully(tmp_path):
+    """bgzip-style concatenated gzip members must fully decode — stopping at
+    the first member would silently truncate the volume payload."""
+    import gzip
+    from vs_seg_tpu.native.decoder import read_file_bytes
+    a, b = b"x" * 70000, b"y" * 50000
+    path = tmp_path / "multi.gz"
+    path.write_bytes(gzip.compress(a) + gzip.compress(b))
+    data = read_file_bytes(str(path))
+    if data is None:  # native lib unavailable: python fallback handles it
+        import pytest
+        pytest.skip("native decoder not built")
+    assert data == a + b

@@ -23,6 +23,7 @@ int nd_read_file(const char* path, uint8_t** out, int64_t* out_len) {
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
   long fsize = ftell(f);
+  if (fsize < 0) { fclose(f); return -1; }
   fseek(f, 0, SEEK_SET);
   uint8_t* raw = (uint8_t*)malloc(fsize);
   if (!raw) { fclose(f); return -2; }
@@ -39,9 +40,10 @@ int nd_read_file(const char* path, uint8_t** out, int64_t* out_len) {
     if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) { free(raw); free(buf); return -4; }
     zs.next_in = raw;
     zs.avail_in = (uInt)fsize;
-    size_t total = 0;
+    size_t total = 0;       // bytes written across ALL members
+    size_t member_out = 0;  // zs.total_out counts per inflateReset
     int ret = Z_OK;
-    while (ret != Z_STREAM_END) {
+    for (;;) {
       if (total == cap) {
         cap *= 2;
         uint8_t* nb = (uint8_t*)realloc(buf, cap);
@@ -54,7 +56,16 @@ int nd_read_file(const char* path, uint8_t** out, int64_t* out_len) {
       if (ret != Z_OK && ret != Z_STREAM_END) {
         inflateEnd(&zs); free(raw); free(buf); return -5;
       }
-      total = zs.total_out;
+      total = member_out + zs.total_out;
+      if (ret == Z_STREAM_END) {
+        // multi-member gzip (e.g. bgzip'd .nii.gz): keep inflating the next
+        // member — stopping at the first would silently truncate the volume
+        if (zs.avail_in == 0) break;
+        member_out = total;
+        if (inflateReset(&zs) != Z_OK) {
+          inflateEnd(&zs); free(raw); free(buf); return -4;
+        }
+      }
     }
     inflateEnd(&zs);
     free(raw);
