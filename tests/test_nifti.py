@@ -100,3 +100,42 @@ def test_write_labelmap_roundtrip(tmp_path):
     img = nifti.load(out)
     np.testing.assert_array_equal(img.data, orig_data)
     np.testing.assert_allclose(img.affine, orig_aff, atol=1e-5)
+
+
+def test_orientation_roundtrip_fuzz(tmp_path, rng):
+    """Export round-trip through original_affine for ALL 48 axis
+    orientations: a labelmap written back with the original affine must
+    overlay the source voxels exactly (the property that decides whether
+    exported segmentations align with the originals — SURVEY 'hard parts')."""
+    import itertools
+    from vs_seg_tpu.data import nifti
+
+    data = (rng.random((6, 5, 4)) > 0.6).astype(np.float32)
+    n = 0
+    for perm in itertools.permutations(range(3)):
+        for sx in (1, -1):
+            for sy in (1, -1):
+                for sz in (1, -1):
+                    rot = np.zeros((3, 3))
+                    for i, p in enumerate(perm):
+                        rot[i, p] = (sx, sy, sz)[i] * (1.0 + 0.5 * p)
+                    affine = np.eye(4)
+                    affine[:3, :3] = rot
+                    affine[:3, 3] = [3.0, -7.0, 11.0]
+                    src = tmp_path / f"src{n}.nii.gz"
+                    nifti.save(nifti.NiftiImage(data, affine), str(src))
+                    img = nifti.load(str(src))
+                    # reorient to RAS (what the pipeline sees) ...
+                    ras, ras_affine, _ = nifti.reorient_to(img.data, img.affine)
+                    out = tmp_path / f"out{n}.nii.gz"
+                    # ... and write the "prediction" back with the ORIGINAL
+                    # affine, as run_inference does
+                    nifti.write_labelmap(ras, str(out), affine=ras_affine,
+                                         target_affine=affine)
+                    back = nifti.load(str(out), dtype=None)
+                    np.testing.assert_array_equal(
+                        np.asarray(back.data, np.float32), data,
+                        err_msg=f"orientation {perm} {(sx, sy, sz)}")
+                    np.testing.assert_allclose(back.affine, affine, atol=1e-5)
+                    n += 1
+    assert n == 48
