@@ -29,8 +29,8 @@ VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
 SW_BATCH = 8
 WARMUP = 1
-ITERS = 4
-REPS = 8
+ITERS = 3
+REPS = 10
 
 # Conservative measured-estimate anchor for the reference pipeline
 # (torch+MONAI 0.4, sw_batch_size=1, A100): ~0.55 volumes/sec for this
