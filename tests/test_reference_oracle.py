@@ -10,6 +10,8 @@ reference recursion (unet2d5_spvPA.py:56-93), these tests still fail.
 
 import os
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -131,3 +133,43 @@ def test_loss_matches_reference_source_flag_combos():
             supervised_attention=att, hardness_weighting=hard)
         np.testing.assert_allclose(float(ours), float(ref_loss),
                                    atol=2e-5, rtol=1e-5, err_msg=f"{att=} {hard=}")
+
+
+def test_loss_gradients_match_reference_source():
+    """d(loss)/d(logits) and d(loss)/d(att_maps) vs torch autograd through the
+    REFERENCE'S OWN Dice_spvPA. This is the only test that can catch a wrong
+    detach: the hardness weight w = 0.6|softmax(x) - onehot(y)| + 0.4 is NOT
+    detached in the reference (dice_spvPA.py:279-283) — gradients flow
+    through it, which loss-VALUE parity can never observe."""
+    ref = _build_reference_model()
+    x = torch.randn(1, 1, 16, 16, 8)
+    g = torch.Generator().manual_seed(3)
+    target = (torch.rand(1, 1, 16, 16, 8, generator=g) > 0.7).float()
+    with torch.no_grad():
+        logits0, atts0 = ref(x)
+
+    logits_t = logits0.clone().requires_grad_(True)
+    atts_t = [a.detach().clone().requires_grad_(True) for a in atts0]
+    loss_t = RefDiceSpvPA(to_onehot_y=True, softmax=True,
+                          supervised_attention=True,
+                          hardness_weighting=True)((logits_t, atts_t), target)
+    loss_t.backward()
+
+    def ours(logits_j, atts_j):
+        return dice_spvpa_loss(logits_j, tuple(atts_j),
+                               jnp.asarray(target.numpy().transpose(0, 4, 2, 3, 1)),
+                               supervised_attention=True,
+                               hardness_weighting=True)
+
+    glogits, gatts = jax.grad(ours, argnums=(0, 1))(
+        jnp.asarray(logits0.numpy().transpose(0, 4, 2, 3, 1)),
+        [jnp.asarray(a.detach().numpy().transpose(0, 4, 2, 3, 1))
+         for a in atts0])
+
+    np.testing.assert_allclose(
+        np.asarray(glogits), logits_t.grad.numpy().transpose(0, 4, 2, 3, 1),
+        atol=2e-6, rtol=1e-4)
+    for k, (gj, at) in enumerate(zip(gatts, atts_t)):
+        np.testing.assert_allclose(
+            np.asarray(gj), at.grad.numpy().transpose(0, 4, 2, 3, 1),
+            atol=2e-6, rtol=1e-4, err_msg=f"att map {k}")
