@@ -173,3 +173,76 @@ def test_loss_gradients_match_reference_source():
         np.testing.assert_allclose(
             np.asarray(gj), at.grad.numpy().transpose(0, 4, 2, 3, 1),
             atol=2e-6, rtol=1e-4, err_msg=f"att map {k}")
+
+
+def test_training_gradients_match_reference_source():
+    """FULL-NETWORK training-mode gradient parity: d(loss)/d(params) of our
+    jitted train semantics vs torch autograd through the reference's own
+    model+loss source (train-mode BatchNorm, attention hooks, residuals,
+    transpose convs — dropout 0 for determinism). The torch gradients are
+    mapped through the same converter as the weights, so every parameter is
+    compared in our tree layout."""
+    torch.manual_seed(0)
+    ref = RefUNet2d5_spvPA(
+        dimensions=3, in_channels=1, out_channels=2,
+        channels=SMALL["channels"], strides=SMALL["strides"],
+        kernel_sizes=SMALL["kernel_sizes"],
+        sample_kernel_sizes=SMALL["sample_kernel_sizes"],
+        num_res_units=2, norm="batch", dropout=0.0, attention_module=True)
+    ref.train()
+    x = torch.randn(2, 1, 16, 16, 8)
+    g = torch.Generator().manual_seed(4)
+    target = (torch.rand(2, 1, 16, 16, 8, generator=g) > 0.7).float()
+
+    params_np, stats_np = import_unet2d5_spvpa(
+        {k: v.detach().clone() for k, v in ref.state_dict().items()},
+        channels=SMALL["channels"], num_res_units=2, attention=True)
+
+    out = ref(x)
+    loss_t = RefDiceSpvPA(to_onehot_y=True, softmax=True,
+                          supervised_attention=True,
+                          hardness_weighting=True)(out, target)
+    loss_t.backward()
+
+    # run the torch GRADIENTS through the same (linear) mapping as weights;
+    # buffers (running stats) pass through as themselves and are ignored
+    named = dict(ref.named_parameters())
+    grad_like = {k: (named[k].grad if k in named and named[k].grad is not None
+                     else v)
+                 for k, v in ref.state_dict().items()}
+    gref, _ = import_unet2d5_spvpa(grad_like, channels=SMALL["channels"],
+                                   num_res_units=2, attention=True)
+
+    model = UNet2d5_spvPA(
+        out_channels=2, channels=SMALL["channels"], strides=SMALL["strides"],
+        kernel_sizes=SMALL["kernel_sizes"],
+        sample_kernel_sizes=SMALL["sample_kernel_sizes"],
+        num_res_units=2, dropout=0.0, attention_module=True,
+        dtype=jnp.float32)
+    xj = jnp.asarray(x.numpy().transpose(0, 4, 2, 3, 1))
+    tj = jnp.asarray(target.numpy().transpose(0, 4, 2, 3, 1))
+
+    def loss_fn(p):
+        outj, _ = model.apply({"params": p, "batch_stats": stats_np}, xj,
+                              train=True, mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.key(0)})
+        logits, atts = outj
+        return dice_spvpa_loss(logits, atts, tj, supervised_attention=True,
+                               hardness_weighting=True)
+
+    gours = jax.grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params_np))
+
+    paths_ref, _ = jax.tree_util.tree_flatten_with_path(gref)
+    paths_ours, _ = jax.tree_util.tree_flatten_with_path(gours)
+    assert len(paths_ref) == len(paths_ours)
+    ref_map = {jax.tree_util.keystr(p): np.asarray(v) for p, v in paths_ref}
+    for p, v in paths_ours:
+        key = jax.tree_util.keystr(p)
+        rv = ref_map[key]
+        # conv biases directly followed by train-mode BN have EXACTLY zero
+        # gradient (BN subtracts the mean); both sides produce ~1e-8 float
+        # noise there, so the absolute floor must sit above it
+        scale = max(float(np.abs(rv).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(v), rv, atol=2e-5 * scale + 1e-6,
+                                   rtol=2e-4, err_msg=key)
