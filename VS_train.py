@@ -6,6 +6,22 @@ parameter dump -> split CSV -> transforms -> transform sanity figure -> cached
 loaders -> model/loss/optimizer -> training loop -> loss/Dice curves.
 """
 
+# Honor an explicit JAX_PLATFORMS env var. The container's sitecustomize
+# force-registers a remote TPU backend and OVERRIDES the env var via
+# jax.config (register() sets jax_platforms="axon,cpu"); restoring the env
+# value here lets `JAX_PLATFORMS=cpu python VS_*.py` actually run on CPU
+# (e.g. with XLA_FLAGS=--xla_force_host_platform_device_count=N for
+# multi-chip smoke runs without hardware).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backend already initialized (e.g. library use)
+
 import argparse
 import os
 
