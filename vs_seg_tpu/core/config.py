@@ -76,6 +76,7 @@ class Config:
     spatial_inference: bool = False  # ONE window's H sharded across the mesh
     device_cache: bool = False  # keep training set in HBM, augment on device
     profile_steps: int = 0  # capture a jax.profiler trace of N steady steps
+    quantize_transfer: bool = False  # uint8 volume staging (2x less H2D)
 
     # --- derived paths (reference params/VSparams.py:104-109) ---
     @property
@@ -167,6 +168,11 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
                         help="capture a jax.profiler trace of N steady-state "
                              "training steps into <results>/profile/ "
                              "(TPU extra; view in TensorBoard/Perfetto)")
+    parser.add_argument("--quantize_transfer", action="store_true",
+                        help="stage inference volumes as uint8 (half the "
+                             "host->device bytes of bf16; max error one "
+                             "256th of the volume range — comparable to the "
+                             "bf16 compute precision)")
     return parser
 
 
@@ -200,6 +206,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         spatial_inference=getattr(args, "spatial_inference", False),
         device_cache=getattr(args, "device_cache", False),
         profile_steps=getattr(args, "profile_steps", 0),
+        quantize_transfer=getattr(args, "quantize_transfer", False),
     )
 
 

@@ -79,7 +79,9 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
     # bounds the number of distinct compiled programs across the heterogeneous
     # whole-volume test set (reference protocol: no crop at test time).
     bucket = getattr(cfg, "sw_bucket", None)
-    transfer_dtype = dtype if dtype != jnp.float32 else None
+    quantize = bool(getattr(cfg, "quantize_transfer", False))
+    transfer_dtype = (None if quantize
+                      else (dtype if dtype != jnp.float32 else None))
     sw_batch = 1 if spatial else cfg.sw_batch_size
 
     def stage(data):
@@ -102,7 +104,7 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
         staged = stage_volume(image, cfg.sliding_window_inferer_roi_size,
                               overlap=cfg.sw_overlap, sw_batch_size=batch,
                               bucket=bucket, transfer_dtype=transfer_dtype,
-                              predictor_layout="dfirst")
+                              quantize=quantize, predictor_layout="dfirst")
         return image, label, staged, data, per_dev
 
     pool = ThreadPoolExecutor(1)
