@@ -3,9 +3,17 @@ exercised without TPU hardware (must run before jax initializes)."""
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # an inherited different count would break every sharding test with
+    # confusing mesh-size errors — rewrite it rather than append a duplicate
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                   "--xla_force_host_platform_device_count=8", flags)
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
@@ -14,6 +22,8 @@ import jax  # noqa: E402
 # overriding the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, (
+    f"expected the 8-virtual-device CPU mesh, got {len(jax.devices())}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

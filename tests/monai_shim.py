@@ -25,6 +25,12 @@ import torch.nn as nn
 def same_padding(kernel_size, dilation=1):
     kernel_size = np.atleast_1d(kernel_size)
     dilation = np.atleast_1d(dilation)
+    if np.any((kernel_size - 1) * dilation % 2 == 1):
+        # real MONAI 0.4 raises here; silently floor-dividing would make the
+        # oracle diverge from the real dependency on even kernels
+        raise NotImplementedError(
+            f"same padding not available for kernel_size={tuple(kernel_size)} "
+            f"and dilation={tuple(dilation)}")
     padding = (kernel_size - 1) // 2 * dilation
     return tuple(int(p) for p in padding) if padding.size > 1 else int(padding)
 
@@ -41,6 +47,10 @@ class _Factory:
         self._table = table
 
     def __getattr__(self, name):  # Conv.CONV -> "conv", Norm.BATCH -> "batch"
+        if name.startswith("_"):
+            # never intercept dunder/protocol lookups (__deepcopy__ etc.):
+            # returning a string makes copy/pickle blow up far from here
+            raise AttributeError(name)
         return name.lower()
 
     def __getitem__(self, key):
@@ -116,6 +126,8 @@ def alias(*names):
 def install_shim(reference_root: str = "/root/reference") -> None:
     """Register the fake `monai` package tree and put the reference repo on
     sys.path so `params.networks...` / `params.losses...` import from it."""
+    if reference_root not in sys.path:
+        sys.path.insert(0, reference_root)
     if "monai" in sys.modules and not getattr(sys.modules["monai"], "_vs_shim", False):
         return  # a real monai is present; don't clobber it
 
@@ -141,6 +153,3 @@ def install_shim(reference_root: str = "/root/reference") -> None:
     monai.networks = networks
     monai.utils = utils
     networks.layers = layers
-
-    if reference_root not in sys.path:
-        sys.path.insert(0, reference_root)

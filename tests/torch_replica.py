@@ -10,7 +10,16 @@ import numpy as np
 import torch
 import torch.nn as nn
 
-from vs_seg_tpu.nn.layers import same_padding
+
+def same_padding(kernel_size, dilation=1):
+    # independent implementation: importing the SUT's same_padding would
+    # reproduce any bug of the library under test in the oracle
+    import numpy as _np
+    k = _np.atleast_1d(kernel_size)
+    d = _np.atleast_1d(dilation)
+    assert not _np.any((k - 1) * d % 2 == 1), "even-kernel padding ambiguous"
+    return tuple(int(p) for p in (k - 1) // 2 * d)
+
 
 
 class TConvolution(nn.Sequential):
@@ -43,6 +52,7 @@ class TResidualUnit(nn.Module):
     def __init__(self, cin, cout, kernel, subunits=2, dropout=None,
                  last_conv_only=False):
         super().__init__()
+        subunits = max(1, subunits)  # reference convolutions.py:215
         self.conv = nn.Sequential()
         ch = cin
         for su in range(subunits):
@@ -94,6 +104,16 @@ class TorchUNet2d5_spvPA(nn.Module):
                  kernel_sizes, sample_kernel_sizes, num_res_units=2, dropout=0.1,
                  attention=True):
         super().__init__()
+        # reference unet2d5_spvPA.py:41 structural assert; the replica also
+        # refuses num_res_units < 1: the reference's 0-case branches are
+        # latently broken (up layer returns the nn.Identity CLASS without
+        # attention, and never reduces channels with it) — a replica that
+        # silently built residual units there would be a wrong oracle
+        assert len(channels) == len(kernel_sizes) == len(strides) + 1 \
+            == len(sample_kernel_sizes) + 1, "inconsistent architecture config"
+        if num_res_units < 1:
+            raise NotImplementedError(
+                "num_res_units < 1 mirrors a latently broken reference branch")
         self.attention = attention
         self.att_maps = []
 

@@ -58,6 +58,13 @@ class UNet2d5_spvPA(nn.Module):
     def __call__(self, x, train: bool = False):
         assert len(self.channels) == len(self.kernel_sizes) \
             == len(self.strides) + 1 == len(self.sample_kernel_sizes) + 1
+        if self.num_res_units < 1:
+            # the reference's num_res_units=0 branches are latently broken
+            # (unet2d5_spvPA.py:195-200 returns the nn.Identity CLASS in the
+            # no-attention case, and the attention case never reduces
+            # channels) — refuse loudly rather than diverge silently
+            raise NotImplementedError(
+                "num_res_units < 1 mirrors a latently broken reference branch")
         n = len(self.strides)  # number of down/up levels (5)
         common = dict(norm="batch", dropout=self.dropout, dtype=self.dtype)
         # Selective rematerialization: only the top levels hold large
