@@ -100,9 +100,12 @@ def profile_levels():
         x = jnp.asarray(rng.normal(size=(1, d, h, w, cin)), jnp.bfloat16)
         down = ResidualUnit(cfg_ch[i], kernels[i], subunits=2, **common)
         ds = Convolution(cfg_ch[i], skernels[i], strides[i], **common)
-        v1 = down.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, False)
-        y = down.apply(v1, x, False)
-        v2 = ds.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, y, False)
+        # jitted inits: eager flax init on the axon backend compiles
+        # op-by-op through the remote service (minutes per level)
+        keys = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+        v1 = jax.jit(down.init, static_argnums=2)(keys, x, False)
+        y = jax.jit(down.apply, static_argnums=2)(v1, x, False)
+        v2 = jax.jit(ds.init, static_argnums=2)(keys, y, False)
 
         def enc(x):
             return ds.apply(v2, down.apply(v1, x, False), False)
@@ -113,8 +116,8 @@ def profile_levels():
         att = AttentionBlock1(kernels[i], dtype=jnp.bfloat16)
         up = ResidualUnit(cfg_ch[i] if i else 2, kernels[i], subunits=1,
                           last_conv_only=(i == 0), **common)
-        v3 = att.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x2, False)
-        v4 = up.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x2, False)
+        v3 = jax.jit(att.init, static_argnums=2)(keys, x2, False)
+        v4 = jax.jit(up.init, static_argnums=2)(keys, x2, False)
 
         def dec(x2):
             from vs_seg_tpu.nn.blocks import attention_gate
