@@ -185,6 +185,10 @@ def test_alt_models_train_one_step(rng):
                      kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
                      sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
         model = build_model(cfg)
+        if name == "UNet":
+            # per-dim stride tuples must pass through unchanged (coercing to
+            # s[0] would silently change the depth downsampling, ADVICE r2)
+            assert model.strides == ((2, 2, 1), (2, 2, 2))
         trainer = Trainer(cfg, model)
         state = trainer.init_state()
         image = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 1)), jnp.float32)

@@ -117,3 +117,32 @@ def test_sharded_sliding_window_dfirst(rng):
         predictor_layout="dfirst")  # elementwise toy is layout-agnostic
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_program_cache_releases_dropped_predictors(rng):
+    """The sharded window-program cache must not pin predictors (and their
+    captured params) after the caller drops them (ADVICE r2)."""
+    import gc
+    from vs_seg_tpu.infer import sharded
+    from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+
+    volume = rng.normal(size=(12, 10, 8, 1)).astype(np.float32)
+    mesh = make_mesh()
+
+    def run_once():
+        def toy(wins):
+            return wins * 2.0
+        sliding_window_inference_sharded(volume, (8, 8, 8), toy, mesh,
+                                         sw_batch_size=1)
+        return toy
+
+    before = len(sharded._PROGRAMS)
+    toy = run_once()
+    assert len(sharded._PROGRAMS) == before + 1
+    # same predictor again: cache hit, no new entry
+    sliding_window_inference_sharded(volume, (8, 8, 8), toy, mesh,
+                                     sw_batch_size=1)
+    assert len(sharded._PROGRAMS) == before + 1
+    del toy
+    gc.collect()
+    assert len(sharded._PROGRAMS) == before

@@ -13,7 +13,7 @@ Works identically on a host-simulated CPU mesh (tests) and a real slice.
 
 from __future__ import annotations
 
-from functools import lru_cache
+import weakref
 from typing import Callable, Sequence
 
 import jax
@@ -26,15 +26,42 @@ from vs_seg_tpu.infer.sliding_window import (
 )
 
 
-@lru_cache(maxsize=32)
+# predictor -> {config: jitted program}. Weak keys: each program closure pins
+# the predictor (and the full parameter set it captures) in HBM, so a
+# long-lived process cycling many checkpoints must not accumulate entries —
+# dropping the predictor now releases its programs without requiring a manual
+# clear_inference_caches() call (same pattern as sliding_window._OC_CACHE).
+_PROGRAMS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _sharded_program(predictor, mesh, axis, roi, local_batches, sw_batch_size):
     """Build (and cache) the jitted shard_map window program. Rebuilding the
     closure per volume would key a fresh jit cache entry each call — a full
-    retrace per volume (minutes on a remote-compile platform). The lru_cache
-    holds at most 32 (predictor, config) programs; a long-lived process
-    cycling many predictors evicts the oldest."""
+    retrace per volume (minutes on a remote-compile platform)."""
+    per_pred = _PROGRAMS.setdefault(predictor, {})
+    key = (mesh, axis, roi, local_batches, sw_batch_size)
+    if key not in per_pred:
+        per_pred[key] = _build_sharded_program(
+            predictor, mesh, axis, roi, local_batches, sw_batch_size)
+    return per_pred[key]
+
+
+_sharded_program.cache_clear = _PROGRAMS.clear  # API parity with lru_cache
+
+
+def _build_sharded_program(predictor, mesh, axis, roi, local_batches,
+                           sw_batch_size):
+    # The program closure must NOT strongly reference the predictor, or the
+    # cache value would keep its own weak key alive forever. per_device only
+    # needs the predictor at trace time, and a (re)trace can only be triggered
+    # through _sharded_program — which requires a live predictor as the key.
+    pred_ref = weakref.ref(predictor)
 
     def per_device(vol, starts_l, mask_l, imp):
+        predictor = pred_ref()
+        assert predictor is not None, (
+            "sharded window program retraced after its predictor was "
+            "garbage-collected — rebuild via _sharded_program")
         s0, s1, s2, c = vol.shape
 
         def varying(x):

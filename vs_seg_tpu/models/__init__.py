@@ -24,9 +24,12 @@ def build_model(cfg):
             num_res_units=cfg.num_res_units, dropout=cfg.dropout, dtype=dtype,
         )
     if cfg.model == "UNet":
+        # per-dim stride tuples pass through unchanged (UNet._triple handles
+        # both forms); coercing to s[0] would silently change the depth
+        # downsampling of anisotropic configs
         return UNet(
             out_channels=cfg.out_channels, channels=tuple(cfg.channels),
-            strides=tuple(s[0] if isinstance(s, (tuple, list)) else s
+            strides=tuple(tuple(s) if isinstance(s, (tuple, list)) else s
                           for s in cfg.strides),
             num_res_units=cfg.num_res_units, dropout=cfg.dropout, dtype=dtype,
         )

@@ -379,6 +379,27 @@ class Trainer:
             "best_metric": best_metric, "best_metric_epoch": best_metric_epoch,
         })
 
+    def _legacy_opt_state(self, raw_opt, params):
+        """Convert a pre-optax.flatten checkpoint's opt_state (per-param Adam
+        moments) to the flattened layout: restore the moments onto the params
+        template, then ravel each in tree order — exactly what optax.flatten's
+        own init does, so the resumed moments are numerically identical."""
+        from flax import serialization
+        from jax.flatten_util import ravel_pytree
+        legacy_opt = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale(-1.0),
+                optax.scale(learning_rate),
+            ))(learning_rate=self.cfg.initial_learning_rate)
+        legacy = serialization.from_state_dict(legacy_opt.init(params), raw_opt)
+        inner = legacy.inner_state
+        adam = inner[1]
+        adam = adam._replace(mu=ravel_pytree(adam.mu)[0],
+                             nu=ravel_pytree(adam.nu)[0])
+        return legacy._replace(inner_state=(inner[0], adam, *inner[2:]))
+
     def restore_state(self, path: str) -> Dict[str, Any]:
         """Load a checkpoint into a usable training state (true resume,
         which the reference cannot do — SURVEY.md §5)."""
@@ -386,8 +407,27 @@ class Trainer:
         from vs_seg_tpu.train.checkpoint import load_checkpoint
         raw = load_checkpoint(path)
         template = self.init_state()
-        opt_state = serialization.from_state_dict(template["opt_state"],
-                                                  raw["opt_state"])
+        raw_opt = raw["opt_state"]
+        # Legacy detection: checkpoints saved before optax.flatten landed
+        # store per-param Adam moment TREES where the flattened layout has one
+        # vector. from_state_dict does NOT raise on that mismatch — it would
+        # silently hand the dict through and crash at the first update.
+        legacy_mu = (isinstance(raw_opt, dict) and isinstance(
+            raw_opt.get("inner_state", {}).get("1", {}).get("mu"), dict))
+        if legacy_mu:
+            self.logger.warning(
+                "checkpoint %s has a legacy (unflattened) opt_state; "
+                "converting Adam moments to the flattened layout", path)
+            try:
+                opt_state = self._legacy_opt_state(raw_opt, raw["params"])
+            except (ValueError, KeyError, TypeError) as e:
+                self.logger.warning(
+                    "legacy opt_state conversion failed (%s); re-initializing "
+                    "the optimizer state — Adam moments reset", e)
+                opt_state = template["opt_state"]
+        else:
+            opt_state = serialization.from_state_dict(template["opt_state"],
+                                                      raw_opt)
         return {"params": raw["params"], "batch_stats": raw["batch_stats"],
                 "opt_state": opt_state, "rng": raw["rng"],
                 "epoch": int(raw["epoch"]),
