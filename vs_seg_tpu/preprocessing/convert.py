@@ -70,19 +70,13 @@ def load_series(paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     return volume, flip @ affine_lps
 
 
-def _fill_polygon(mask_2d: np.ndarray, poly_rc: np.ndarray) -> None:
-    """XOR scanline fill of a closed polygon given in (row, col) float coords.
-
-    XOR accumulation reproduces planar-contour semantics for nested contours
-    (holes), matching SlicerRT's even-odd rasterization.
-    """
-    rows, cols = mask_2d.shape
-    r = poly_rc[:, 0]
-    c = poly_rc[:, 1]
-    n = len(poly_rc)
+def _polygon_cells(r: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Scanline fill of a closed polygon in float (row, col) coords: returns
+    the (M, 2) integer (row, col) cells whose centers are inside (even-odd
+    rule — crossings paired, so nested rings XOR into holes downstream)."""
+    n = len(r)
+    cells = []
     for row in range(int(np.floor(r.min())), int(np.ceil(r.max())) + 1):
-        if row < 0 or row >= rows:
-            continue
         xs = []
         y = row
         for i in range(n):
@@ -95,28 +89,56 @@ def _fill_polygon(mask_2d: np.ndarray, poly_rc: np.ndarray) -> None:
         for k in range(0, len(xs) - 1, 2):
             lo = int(np.ceil(xs[k] - 0.5))
             hi = int(np.floor(xs[k + 1] - 0.5))
-            lo = max(lo, 0)
-            hi = min(hi, cols - 1)
-            if hi >= lo:
-                mask_2d[row, lo:hi + 1] ^= True
+            for col in range(lo, hi + 1):
+                cells.append((row, col))
+    return np.asarray(cells, dtype=np.int64).reshape(-1, 2)
 
 
 def rasterize_contours(contours_lps: List[np.ndarray], affine_ras: np.ndarray,
                        shape: Tuple[int, int, int]) -> np.ndarray:
     """Rasterize planar contours (world LPS points, (N,3) each) to a labelmap
-    on the image grid defined by the RAS affine + shape."""
+    on the image grid defined by the RAS affine + shape.
+
+    Handles OBLIQUE contour planes (gantry-tilted acquisitions, or contours
+    co-registered from another image's slices — reference
+    data_conversion.py:242-344 gets this from SlicerRT): each contour's plane
+    is fit to its points in voxel space; the polygon is filled in the two
+    axes orthogonal to the plane's dominant axis, and each filled cell's
+    coordinate along the dominant axis comes from the plane equation. For
+    slice-aligned contours this reduces exactly to a single-slice fill.
+    XOR accumulation keeps even-odd semantics for nested contours (holes).
+    """
     inv = np.linalg.inv(affine_ras)
     flip = np.diag([-1.0, -1.0, 1.0, 1.0])
     labelmap = np.zeros(shape, dtype=bool)
     for pts in contours_lps:
         pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+        if len(pts) < 3:
+            continue
         ras = (flip[:3, :3] @ pts.T).T  # LPS -> RAS world
         hom = np.concatenate([ras, np.ones((len(ras), 1))], axis=1)
         vox = (inv @ hom.T).T[:, :3]
-        k = int(round(float(np.median(vox[:, 2]))))
-        if k < 0 or k >= shape[2]:
+        # best-fit plane in voxel space: normal = least-variance direction
+        ctr = vox.mean(axis=0)
+        _, _, vt = np.linalg.svd(vox - ctr, full_matrices=False)
+        normal = vt[-1]
+        a = int(np.argmax(np.abs(normal)))
+        if abs(normal[a]) < 1e-12:
+            continue  # degenerate (collinear) contour
+        p, q = [ax for ax in range(3) if ax != a]
+        cells = _polygon_cells(vox[:, p], vox[:, q])
+        if not len(cells):
             continue
-        _fill_polygon(labelmap[:, :, k], vox[:, [0, 1]])
+        # dominant-axis coordinate of each cell from n . (x - ctr) = 0
+        pa = ctr[a] - (normal[p] * (cells[:, 0] - ctr[p])
+                       + normal[q] * (cells[:, 1] - ctr[q])) / normal[a]
+        ka = np.round(pa).astype(np.int64)
+        ok = ((ka >= 0) & (ka < shape[a])
+              & (cells[:, 0] >= 0) & (cells[:, 0] < shape[p])
+              & (cells[:, 1] >= 0) & (cells[:, 1] < shape[q]))
+        idx: list = [None, None, None]
+        idx[a], idx[p], idx[q] = ka[ok], cells[ok, 0], cells[ok, 1]
+        labelmap[tuple(idx)] ^= True
     return labelmap.astype(np.uint8)
 
 
@@ -162,13 +184,53 @@ def load_contours_json(path: str) -> List[np.ndarray]:
     return out
 
 
-def restructure_tcia(input_root: str, output_root: str) -> List[str]:
+def _natkey(s: str):
+    """natsort-equivalent key (reference uses natsorted for file order)."""
+    return [int(t) if t.isdigit() else t.lower()
+            for t in re.split(r"(\d+)", os.path.basename(s))]
+
+
+def _rtss_referenced_series_uid(ds: DicomDataset) -> Optional[str]:
+    """RTSTRUCT -> image series chain, exactly the reference path
+    (TCIA_data_convert...py:77): ReferencedFrameOfReferenceSequence[0]
+    .RTReferencedStudySequence[0].RTReferencedSeriesSequence[0]
+    .SeriesInstanceUID."""
+    try:
+        return str(ds["ReferencedFrameOfReferenceSequence"][0]
+                   ["RTReferencedStudySequence"][0]
+                   ["RTReferencedSeriesSequence"][0]["SeriesInstanceUID"])
+    except (KeyError, IndexError, TypeError):
+        return None
+
+
+def _first_ref_sop(ds: DicomDataset, seq_name: str) -> Optional[str]:
+    try:
+        return str(ds[seq_name][0]["ReferencedSOPInstanceUID"])
+    except (KeyError, IndexError, TypeError):
+        return None
+
+
+def restructure_tcia(input_root: str, output_root: str, *,
+                     require_complete: bool = True,
+                     on_unclassified: str = "raise") -> List[str]:
     """Reorganize TCIA VS-SEG-* downloads into vs_gk_<n>_{t1,t2}/ folders
     (reference TCIA_data_convert_into_convenient_folder_structure.py).
 
-    Classifies series by Modality, pairs each RTSTRUCT with its referenced
-    image series via FrameOfReference/SeriesInstanceUID, and copies files.
+    Per case: classify series by Modality (MR / RTSTRUCT / RTPLAN / RTDOSE),
+    route MR series to t1/t2 by SeriesDescription, then chain the RT bundle
+    exactly as the reference does (:77-120): RTSTRUCT by its nested referenced
+    SeriesInstanceUID, RTPLAN by ReferencedStructureSetSequence SOP UID,
+    RTDOSE by ReferencedRTPlanSequence SOP UID. Copies IMG*.dcm + RTSS.dcm
+    [+ RTPLAN.dcm + RTDOSE.dcm].
+
+    require_complete: enforce the reference's completeness asserts (equal
+    modality counts, every bundle slot found, :57,125-126). With False,
+    partially-downloaded cases copy whatever chains successfully.
+    on_unclassified: "raise" (reference :72 raises on an MR series whose
+    description names neither t1 nor t2) | "warn" | "skip".
     """
+    import logging
+    logger = logging.getLogger(__name__)
     created = []
     case_dirs = sorted(
         (d for d in os.listdir(input_root) if d.startswith("VS-SEG-")),
@@ -176,9 +238,9 @@ def restructure_tcia(input_root: str, output_root: str) -> List[str]:
     for case_dir in case_dirs:
         case_num = int(re.sub(r"\D", "", case_dir))
         series: Dict[str, dict] = {}
-        rtss = []
+        rt: Dict[str, list] = {"RTSTRUCT": [], "RTPLAN": [], "RTDOSE": []}
         for dirpath, _, files in os.walk(os.path.join(input_root, case_dir)):
-            for fname in files:
+            for fname in sorted(files, key=_natkey):
                 if not fname.lower().endswith(".dcm"):
                     continue
                 path = os.path.join(dirpath, fname)
@@ -190,29 +252,71 @@ def restructure_tcia(input_root: str, output_root: str) -> List[str]:
                 if modality == "MR":
                     uid = str(ds.get("SeriesInstanceUID"))
                     series.setdefault(uid, {"files": [], "desc": str(
-                        ds.get("SeriesDescription", "")).lower()})
+                        ds.get("SeriesDescription", "")).lower(), "ds": ds})
                     series[uid]["files"].append(path)
-                elif modality == "RTSTRUCT":
-                    rtss.append((path, ds))
+                elif modality in rt:
+                    rt[modality].append((path, ds))
+        if require_complete:
+            counts = {"MR": len(series), **{k: len(v) for k, v in rt.items()}}
+            assert len(set(counts.values())) == 1, (
+                f"{case_dir}: did not find all required files "
+                f"(series/RT counts {counts})")
+
+        by_tag: Dict[str, dict] = {}
         for uid, info in series.items():
             if "t1" in info["desc"]:
                 tag = "t1"
             elif "t2" in info["desc"]:
                 tag = "t2"
             else:
+                msg = (f"{case_dir}: MR series {uid} description "
+                       f"{info['desc']!r} names neither t1 nor t2")
+                if on_unclassified == "raise":
+                    raise ValueError(msg)
+                if on_unclassified == "warn":
+                    logger.warning(msg)
                 continue
+            assert tag not in by_tag, (
+                f"{case_dir}: multiple MR series classified as {tag}")
+            by_tag[tag] = dict(info, uid=uid)
+
+        for tag, info in sorted(by_tag.items()):
             dest = os.path.join(output_root, f"vs_gk_{case_num}_{tag}")
             os.makedirs(dest, exist_ok=True)
-            for i, f in enumerate(sorted(info["files"])):
+            for i, f in enumerate(sorted(info["files"], key=_natkey)):
                 shutil.copy(f, os.path.join(dest, f"IMG{i:04d}.dcm"))
-            # pair RTSTRUCT referencing this series: exact-match against the
-            # SET of UIDs referenced anywhere in the RTSS (incl. the nested
-            # RT Referenced Study/Series sequences). Substring matching on a
-            # serialized dump was prefix-unsafe ('...1.1' matches '...1.10').
-            for path, ds in rtss:
-                if uid in _collect_uids(ds):
+
+            # chain the RT bundle: series <- RTSS <- RTPLAN <- RTDOSE
+            rtss_sop = plan_sop = None
+            for path, ds in rt["RTSTRUCT"]:
+                ref = _rtss_referenced_series_uid(ds)
+                # fallback: exact-match against the SET of UIDs referenced
+                # anywhere in the RTSS (substring matching on a serialized
+                # dump was prefix-unsafe: '...1.1' matches '...1.10')
+                if (ref == info["uid"] if ref is not None
+                        else info["uid"] in _collect_uids(ds)):
                     shutil.copy(path, os.path.join(dest, "RTSS.dcm"))
+                    rtss_sop = str(ds.get("SOPInstanceUID", ""))
+            for path, ds in rt["RTPLAN"]:
+                if rtss_sop and _first_ref_sop(
+                        ds, "ReferencedStructureSetSequence") == rtss_sop:
+                    shutil.copy(path, os.path.join(dest, "RTPLAN.dcm"))
+                    plan_sop = str(ds.get("SOPInstanceUID", ""))
+            for path, ds in rt["RTDOSE"]:
+                if plan_sop and _first_ref_sop(
+                        ds, "ReferencedRTPlanSequence") == plan_sop:
+                    shutil.copy(path, os.path.join(dest, "RTDOSE.dcm"))
+            if require_complete:
+                missing = [n for n in ("RTSS.dcm", "RTPLAN.dcm", "RTDOSE.dcm")
+                           if not os.path.exists(os.path.join(dest, n))]
+                assert not missing, (
+                    f"{case_dir} {tag}: not all required files found "
+                    f"(missing {missing})")
             created.append(dest)
+        if require_complete:
+            assert sorted(by_tag) == ["t1", "t2"], (
+                f"{case_dir}: expected one t1 and one t2 series, got "
+                f"{sorted(by_tag)}")
     return created
 
 

@@ -58,6 +58,57 @@ TAGS = {
     (0x3006, 0x0024): "ReferencedFrameOfReferenceUID",
     (0x0008, 0x1155): "ReferencedSOPInstanceUID",
     (0x0020, 0x0052): "FrameOfReferenceUID",
+    # RTPLAN -> RTSTRUCT and RTDOSE -> RTPLAN chaining (reference
+    # TCIA_data_convert_into_convenient_folder_structure.py:91-120)
+    (0x300C, 0x0060): "ReferencedStructureSetSequence",
+    (0x300C, 0x0002): "ReferencedRTPlanSequence",
+    # BIDS sidecar metadata (reference data_conversion_BIDS.py:385-410 pulls
+    # these via pydicom keywords; the non-DICOM BIDS-only names in its tag
+    # list are skipped there too — pydicom raises and the except swallows it)
+    (0x0008, 0x0008): "ImageType",
+    (0x0008, 0x0020): "StudyDate",
+    (0x0008, 0x0032): "AcquisitionTime",
+    (0x0008, 0x0070): "Manufacturer",
+    (0x0008, 0x0080): "InstitutionName",
+    (0x0008, 0x0081): "InstitutionAddress",
+    (0x0008, 0x1010): "StationName",
+    (0x0008, 0x1040): "InstitutionalDepartmentName",
+    (0x0008, 0x1090): "ManufacturerModelName",
+    (0x0018, 0x0020): "ScanningSequence",
+    (0x0018, 0x0021): "SequenceVariant",
+    (0x0018, 0x0022): "ScanOptions",
+    (0x0018, 0x0023): "MRAcquisitionType",
+    (0x0018, 0x0024): "SequenceName",
+    (0x0018, 0x0080): "RepetitionTime",
+    (0x0018, 0x0081): "EchoTime",
+    (0x0018, 0x0082): "InversionTime",
+    (0x0018, 0x0084): "ImagingFrequency",
+    (0x0018, 0x0087): "MagneticFieldStrength",
+    (0x0018, 0x0089): "NumberOfPhaseEncodingSteps",
+    (0x0018, 0x0093): "PercentSampling",
+    (0x0018, 0x0094): "PercentPhaseFieldOfView",
+    (0x0018, 0x0095): "PixelBandwidth",
+    (0x0018, 0x1000): "DeviceSerialNumber",
+    (0x0018, 0x1020): "SoftwareVersions",
+    (0x0018, 0x1030): "ProtocolName",
+    (0x0018, 0x1048): "ContrastBolusIngredient",
+    (0x0018, 0x1250): "ReceiveCoilName",
+    (0x0018, 0x1251): "TransmitCoilName",
+    (0x0018, 0x1312): "InPlanePhaseEncodingDirection",
+    (0x0018, 0x1314): "FlipAngle",
+    (0x0018, 0x1316): "SAR",
+    (0x0018, 0x5100): "PatientPosition",
+    (0x0018, 0x9036): "PartialFourierDirection",
+    (0x0018, 0x9069): "ParallelReductionFactorInPlane",
+    (0x0018, 0x9078): "ParallelAcquisitionTechnique",
+    (0x0018, 0x9081): "PartialFourier",
+    (0x0020, 0x0011): "SeriesNumber",
+    (0x0020, 0x0012): "AcquisitionNumber",
+    (0x0040, 0x0254): "PerformedProcedureStepDescription",
+    # participants.tsv demographics (reference hardcodes its 242 rows at
+    # data_conversion_BIDS.py:520-...; we extract from DICOM when present)
+    (0x0010, 0x0040): "PatientSex",
+    (0x0010, 0x1010): "PatientAge",
 }
 
 _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -179,7 +230,11 @@ def _guess_vr(name: str) -> bytes:
     if name in ("ImagePositionPatient", "ImageOrientationPatient", "PixelSpacing",
                 "RescaleIntercept", "RescaleSlope", "SliceThickness",
                 "ContourData", "NumberOfContourPoints", "InstanceNumber",
-                "ROINumber", "ReferencedROINumber"):
+                "ROINumber", "ReferencedROINumber", "RepetitionTime",
+                "EchoTime", "InversionTime", "ImagingFrequency",
+                "MagneticFieldStrength", "NumberOfPhaseEncodingSteps",
+                "PercentSampling", "PercentPhaseFieldOfView", "PixelBandwidth",
+                "FlipAngle", "SAR", "SeriesNumber", "AcquisitionNumber"):
         return b"DS"
     return b"LO"
 
