@@ -139,3 +139,27 @@ def test_orientation_roundtrip_fuzz(tmp_path, rng):
                     np.testing.assert_allclose(back.affine, affine, atol=1e-5)
                     n += 1
     assert n == 48
+
+
+def test_write_labelmap_resamples_spacing_output(tmp_path):
+    """A labelmap whose affine differs from original_affine by more than a
+    permutation/flip (e.g. after a Spacing transform) must be RESAMPLED back
+    onto the original grid — MONAI write_nifti's resample=True path
+    (reference params/VSparams.py:591-594), not just reoriented."""
+    rng = np.random.default_rng(7)
+    orig_aff = np.diag([-1.0, -1.0, 2.0, 1.0])  # LPS, anisotropic z
+    orig_aff[:3, 3] = [4.0, -2.0, 9.0]
+    orig_data = rng.integers(0, 3, size=(6, 5, 4)).astype(np.float32)
+
+    # pipeline view: reorient to RAS, then a Spacing halves the z voxel size
+    ras, ras_aff, _ = nifti.reorient_to(orig_data, orig_aff)
+    fine = np.repeat(ras, 2, axis=2)
+    fine_aff = np.asarray(ras_aff, np.float64).copy()
+    fine_aff[:3, 2] *= 0.5
+
+    out = str(tmp_path / "seg.nii.gz")
+    nifti.write_labelmap(fine, out, affine=fine_aff, target_affine=orig_aff,
+                         target_shape=orig_data.shape)
+    img = nifti.load(out)
+    np.testing.assert_allclose(img.affine, orig_aff, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(img.data, np.float32), orig_data)

@@ -18,7 +18,7 @@ import gzip
 import os
 import struct
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -260,16 +260,40 @@ def reorient_to(data: np.ndarray, affine: np.ndarray, axcodes: str = "RAS"
 
 
 def write_labelmap(data: np.ndarray, path: str, affine: np.ndarray,
-                   target_affine: Optional[np.ndarray] = None) -> None:
-    """Export a labelmap, reorienting from its current `affine` back to the
-    orientation of `target_affine` (the original on-disk affine recorded at
-    load) — the NiftiSaver round-trip of reference params/VSparams.py:585-594.
+                   target_affine: Optional[np.ndarray] = None,
+                   target_shape: Optional[Sequence[int]] = None) -> None:
+    """Export a labelmap, mapping it from its current `affine` back onto the
+    grid of `target_affine` (the original on-disk affine recorded at load) —
+    the NiftiSaver round-trip of reference params/VSparams.py:585-594.
+
+    Orientation-only differences (the reference pipeline: Orientationd is the
+    only spatial transform) are undone exactly by axis permutation/flip.  If
+    the affines still differ after reorientation (e.g. a Spacing transform
+    changed the voxel size), the labelmap is resampled nearest-neighbor onto
+    the target grid — MONAI write_nifti's `resample=True` path.  The target
+    grid shape is `target_shape` (the recorded original `spatial_shape`) or,
+    when absent, the reoriented data shape (MONAI's `output_spatial_shape`
+    default).
     """
     arr = np.asarray(data)
     if target_affine is not None:
         axcodes = ornt_to_axcodes(io_orientation(target_affine))
-        arr, _, _ = reorient_to(arr, affine, axcodes)
+        arr, new_affine, _ = reorient_to(arr, affine, axcodes)
         out_affine = np.asarray(target_affine, dtype=np.float64)
+        if not np.allclose(new_affine, out_affine, atol=1e-3):
+            # true resample: new voxel index -> world (target) -> voxel (data)
+            from scipy import ndimage
+            vox_map = np.linalg.inv(np.asarray(new_affine, np.float64)) @ out_affine
+            out_shape = tuple(int(s) for s in (
+                target_shape if target_shape is not None else arr.shape[:3]))
+            chans = arr.reshape(*arr.shape[:3], -1)
+            res = np.stack([
+                ndimage.affine_transform(
+                    chans[..., c].astype(np.float32), vox_map[:3, :3],
+                    offset=vox_map[:3, 3], output_shape=out_shape,
+                    order=0, mode="constant")
+                for c in range(chans.shape[-1])], axis=-1)
+            arr = res.reshape(out_shape + arr.shape[3:])
     else:
         out_affine = np.asarray(affine, dtype=np.float64)
     if (arr >= 0).all() and (arr < 256).all() and np.all(np.mod(arr, 1) == 0):

@@ -49,6 +49,7 @@ class LoadNifti:
             sample[f"{key}_meta"] = {
                 "affine": img.affine,
                 "original_affine": img.affine.copy(),
+                "spatial_shape": tuple(img.data.shape[:3]),
                 "filename_or_obj": path,
             }
         return sample

@@ -171,7 +171,8 @@ def run_inference(cfg, model, params, batch_stats, test_loader,
                 nifti.write_labelmap(
                     pred_argmax.astype(np.float32),
                     os.path.join(out_dir, base + ".nii.gz"),
-                    affine=meta["affine"], target_affine=meta["original_affine"])
+                    affine=meta["affine"], target_affine=meta["original_affine"],
+                    target_shape=meta.get("spatial_shape"))
 
             if make_figures:
                 figures.save_inference_panel(image[..., 0], label[..., 0],
