@@ -197,3 +197,36 @@ def test_alt_models_train_one_step(rng):
             state["params"], state["batch_stats"], state["opt_state"],
             wrap_rng_data(state["rng"]), image, label)
         assert jnp.isfinite(loss), (name, loss)
+
+
+def test_fused_attention_matches_reference():
+    """The fused Pallas attention tail (gate=True dispatch in
+    AttentionBlock1) must reproduce the unfused XLA path exactly at eval.
+    Shapes are chosen so upatt_0 (kd=1) and upatt_1 (kd=3) fuse while
+    bottom_att falls back (W*Cm % 128 != 0) — both paths in one forward."""
+    from vs_seg_tpu.ops import pallas_att
+
+    cfg = dict(channels=(8, 16), strides=((2, 2, 2),),
+               kernel_sizes=((3, 3, 1), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 3),))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=1, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    assert not pallas_att.fusion_enabled()  # CPU: default path is unfused
+    pallas_att.FORCE_INTERPRET = True
+    try:
+        assert pallas_att.fusion_enabled()
+        logits, atts = model.apply(variables, x, train=False)
+    finally:
+        pallas_att.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=1e-5, rtol=1e-5)
+    for a, r in zip(atts, atts_ref):
+        assert a.shape == r.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)

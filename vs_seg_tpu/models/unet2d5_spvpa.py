@@ -32,7 +32,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vs_seg_tpu.nn.blocks import AttentionBlock1, Convolution, ResidualUnit, attention_gate
+from vs_seg_tpu.nn.blocks import AttentionBlock1, Convolution, ResidualUnit
 from vs_seg_tpu.nn.layers import Shape3
 
 
@@ -94,9 +94,8 @@ class UNet2d5_spvPA(nn.Module):
         # --- bottom (reference _get_bottom_layer, unet2d5_spvPA.py:152-158) ---
         if self.attention_module:
             att, x = AttentionBlock1(self.kernel_sizes[n], dtype=self.dtype,
-                                     name="bottom_att")(x, train)
+                                     name="bottom_att")(x, train, gate=True)
             att_maps.append(att)
-            x = attention_gate(att, x)
         x = ResidualUnit(self.channels[n], self.kernel_sizes[n],
                          subunits=self.num_res_units, name="bottom", **common)(x, train)
 
@@ -112,9 +111,8 @@ class UNet2d5_spvPA(nn.Module):
             x = (skips[i], x.astype(skips[i].dtype))
             if self.attention_module:
                 att, x = AttentionBlock1(self.kernel_sizes[i], dtype=self.dtype,
-                                         name=f"upatt_{i}")(x, train)
+                                         name=f"upatt_{i}")(x, train, gate=True)
                 att_maps.append(att)
-                x = attention_gate(att, x)
             outc = self.out_channels if i == 0 else self.channels[i]
             x = ResidualUnit_(outc, self.kernel_sizes[i], subunits=1,
                               last_conv_only=(i == 0), name=f"up_{i}", **common)(x, train)

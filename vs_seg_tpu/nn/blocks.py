@@ -116,23 +116,50 @@ class ResidualUnit(nn.Module):
 
 
 class AttentionBlock1(nn.Module):
-    """conv(C -> C/2, ReLU) -> conv(C/2 -> 1, Sigmoid); returns (att, x).
+    """conv(C -> C/2, ReLU) -> conv(C/2 -> 1, Sigmoid); returns (att, x) —
+    or, with gate=True, (att, att*x + x) applying AttentionBlock2 inline.
 
     Reference attentionblock.py:6-35 (norm=None, dropout=None inside).
+    With gate=True at inference on TPU, the conv2 + sigmoid + gate tail runs
+    as one fused Pallas pass (ops/pallas_att.py) when the site's shapes
+    allow it — the (..., 1) attention tensor otherwise forces lane-starved
+    layouts on every consumer (~45 ms/volume in the round-3 trace).  The
+    unfused conv2 is still traced for parameter creation and falls out via
+    DCE; numerics are pinned by tests/test_pallas_att.py and
+    tests/test_model.py::test_fused_attention_matches_reference.
     """
 
     kernel_size: Shape3
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        c = (sum(v.shape[-1] for v in x) if isinstance(x, (tuple, list))
-             else x.shape[-1])
-        att = Convolution(c // 2, self.kernel_size, act="relu", norm=None,
-                          dropout=None, dtype=self.dtype, name="conv1")(x, train)
+    def __call__(self, x, train: bool = False,
+                 gate: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from vs_seg_tpu.ops import pallas_att
+
+        pair = isinstance(x, (tuple, list))
+        c = (sum(v.shape[-1] for v in x) if pair else x.shape[-1])
+        a1 = Convolution(c // 2, self.kernel_size, act="relu", norm=None,
+                         dropout=None, dtype=self.dtype, name="conv1")(x, train)
         att = Convolution(1, self.kernel_size, act="sigmoid", norm=None,
-                          dropout=None, dtype=self.dtype, name="conv2")(att, train)
-        return att, x
+                          dropout=None, dtype=self.dtype, name="conv2")(a1, train)
+        if not gate:
+            return att, x
+
+        xs = tuple(x) if pair else (x,)
+        kh, kw, kd = _triple(self.kernel_size)
+        if (not train and (kh, kw) == (3, 3)
+                and pallas_att.fusion_enabled()
+                and pallas_att.can_fuse(a1.shape, [v.shape for v in xs], kd)):
+            w2 = self.variables["params"]["conv2"]["conv"]["kernel"]
+            b2 = self.variables["params"]["conv2"]["conv"]["bias"]
+            att_w, gated = pallas_att.fused_attention_gate(
+                a1, xs, w2, b2, kd=kd,
+                ht=pallas_att.pick_ht(a1.shape[2]),
+                interpret=pallas_att.force_interpret())
+            # the XLA `att` above is now dead -> DCE'd; expose the compact map
+            return att_w[..., :1], (gated if pair else gated[0])
+        return att, attention_gate(att, x)
 
 
 def attention_gate(att: jnp.ndarray, x):
