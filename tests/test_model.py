@@ -230,3 +230,40 @@ def test_fused_attention_matches_reference():
         assert a.shape == r.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fused_conv333_matches_reference():
+    """The fused Pallas conv+BN+PReLU path (conv333 dispatch in Convolution)
+    must reproduce the unfused XLA path at eval.  The level-2 (3,3,3) conv
+    sites of this config fuse (single input, decoder pair input, and the
+    attention conv1 with act=relu/norm=None); the (3,3,1) level-0 sites
+    fall back."""
+    from vs_seg_tpu.ops import pallas_conv333
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=1, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    # non-trivial BN stats so the folded affine is exercised
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    assert not pallas_conv333.fusion_enabled()  # CPU: default path unfused
+    pallas_conv333.FORCE_INTERPRET = True
+    try:
+        assert pallas_conv333.fusion_enabled()
+        logits, atts = model.apply(variables, x, train=False)
+    finally:
+        pallas_conv333.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    for a, r in zip(atts, atts_ref):
+        assert a.shape == r.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)

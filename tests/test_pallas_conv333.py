@@ -17,7 +17,7 @@ def _ref(x, w, b=None):
 
 @pytest.mark.parametrize("shape,cin,cout", [
     ((1, 3, 16, 16), 48, 48),     # L2-like: cp=64, g=2
-    ((2, 2, 16, 8), 40, 64),      # channel padding both sides, g=2
+    ((2, 2, 16, 16), 40, 64),     # channel padding both sides, g=2
     ((1, 2, 16, 16), 96, 48),     # pair-conv: cp=128, g=1
     ((1, 2, 16, 8), 128, 128),    # full 128 channels, g=1
 ])

@@ -40,35 +40,77 @@ class Convolution(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from vs_seg_tpu.ops import pallas_conv333
+
         conv_cls = ConvTranspose3d if self.is_transposed else Conv3d
         conv = conv_cls(self.features, self.kernel_size, _triple(self.strides),
                         dtype=self.dtype, name="conv")
         if self.conv_only:
             return conv(x)
+        affine = None
         if self.norm == "batch":
             if train:
-                x = BatchNorm(name="norm")(conv(x), train)
+                y = BatchNorm(name="norm")(conv(x), train)
             else:
                 # frozen BN folds into the conv weights: one fewer full-tensor
                 # pass per block at inference, numerically the same affine
                 affine = BatchNorm(name="norm", features=self.features)(
                     None, train, fold=True)
-                x = conv(x, affine=affine)
+                y = conv(x, affine=affine)
         elif self.norm is None:
-            x = conv(x)
+            y = conv(x)
         else:
             raise ValueError(f"unsupported norm {self.norm}")
         if self.dropout:
-            x = Dropout(self.dropout, name="dropout")(x, train)
+            y = Dropout(self.dropout, name="dropout")(y, train)
         if self.act == "prelu":
-            x = PReLU(name="act")(x)
+            y = PReLU(name="act")(y)
         elif self.act == "relu":
-            x = jax.nn.relu(x)
+            y = jax.nn.relu(y)
         elif self.act == "sigmoid":
-            x = jax.nn.sigmoid(x)
+            y = jax.nn.sigmoid(y)
         elif self.act is not None:
             raise ValueError(f"unsupported act {self.act}")
-        return x
+
+        # Fused Pallas path for the (3,3,3) stride-1 conv sites (the net's
+        # L2+ levels) at eval on TPU: conv + folded BN (or bias) + PReLU in
+        # one pass (ops/pallas_conv333.py; XLA's conv emitter reaches only
+        # ~17-21 TFLOP/s at these 48-96-channel shapes).  The XLA chain
+        # above stays traced for parameter creation and falls to DCE;
+        # numerics pinned by tests/test_pallas_conv333.py and
+        # tests/test_model.py.
+        if self._conv333_fusable(x, train):
+            p = self.variables["params"]["conv"]
+            w, b = p["kernel"], p["bias"]
+            if affine is not None:
+                scale, shift = affine[0], b * affine[0] + affine[1]
+            else:
+                scale, shift = None, b
+            if self.act == "prelu":
+                alpha = self.variables["params"]["act"]["alpha"]
+            elif self.act == "relu":
+                alpha = jnp.zeros((1,), jnp.float32)
+            else:
+                alpha = None
+            return pallas_conv333.conv333(
+                x, w, scale, shift, alpha,
+                interpret=pallas_conv333.force_interpret())
+        return y
+
+    def _conv333_fusable(self, x, train: bool) -> bool:
+        from vs_seg_tpu.ops import pallas_conv333
+
+        if (train or self.is_transposed
+                or _triple(self.kernel_size) != (3, 3, 3)
+                or _triple(self.strides) != (1, 1, 1)
+                or self.act not in ("prelu", "relu", None)
+                or self.is_initializing()
+                or not pallas_conv333.fusion_enabled()):
+            return False
+        xs = x if isinstance(x, (tuple, list)) else (x,)
+        cin = sum(int(v.shape[-1]) for v in xs)
+        return pallas_conv333.can_conv333(
+            [v.shape for v in xs], (3, 3, 3, cin, self.features))
 
 
 class ResidualUnit(nn.Module):

@@ -227,12 +227,22 @@ def force_interpret() -> bool:
 def fusion_enabled() -> bool:
     """Fused attention dispatch: real Mosaic on TPU (or interpret when
     forced), and never inside a spatial-sharding trace — the fused conv2
-    would skip the halo exchange that nn/layers.py:conv3d inserts there."""
+    would skip the halo exchange that nn/layers.py:conv3d inserts there.
+    Opt-in: VS_ATT_FUSE=1 enables on TPU.  The window-scale A/B
+    (tools/fwd_probe.py, r3) measured the fused forward 90 ms SLOWER than
+    the XLA path (185 vs 95 ms with conv333 on) — the L0/L1 sites run
+    768/384 small grid steps with serialized slab DMAs.  Keep off until
+    per-level gating demonstrates an in-context win."""
+    import os
+
     from vs_seg_tpu.nn import layers
 
     if layers._SPATIAL is not None:
         return False
-    return FORCE_INTERPRET or jax.default_backend() == "tpu"
+    if FORCE_INTERPRET:
+        return True
+    return (os.environ.get("VS_ATT_FUSE") == "1"
+            and jax.default_backend() == "tpu")
 
 
 def pick_ht(H: int) -> int:

@@ -5,28 +5,35 @@ Targets the reference net's L2/L3 levels (48-64ch (3,3,3) convolutions,
 params/VSparams.py:355-369) where XLA's conv emitter reaches only ~17-21
 TFLOP/s on v5e (N=48 of 128 output lanes + layout copies before every conv;
 round-3 trace: the L2 block is ~145 ms of the 329 ms inference volume).
-Design:
 
-- Channels are zero-padded to Cp in {64, 128} so a (B*D*H, W*Cp) row view
-  packs exactly G = 128//Cp W-positions per 128-lane block — the natural
-  MXU tile.  Views that keep 128-lane blocks are free (layout-preserving);
-  lane-split reshapes to (.., W, C) are not supported by Mosaic.
-- Each of the 9 (dh, dd) row taps becomes two (ht*nb, 128) @ (128, 128)
-  matmuls: a "main" matmul against the within-block Toeplitz matrix (for
-  G=2: input positions {2g, 2g+1} -> outputs {2g, 2g+1}, W-taps dw = p-q+1)
-  and an "edge" matmul whose K halves hold positions 2g-1 / 2g+2, composed
-  in-register from two 64-lane rolls + an iota select (for G=1, two full
-  neighbor-block matmuls).  No im2col copies, no gathers; FLOP inflation is
-  (executed K=256) / (useful 3*48) = 1.78x for Cin=48 -> a ~1.5-2.5 ms/conv
-  ceiling vs 8.4 ms XLA at the L2 reference shape.
+Layout design (v2 — the whole kernel lives in MXU-native (rows, 128) tiles):
+
+- Channels are zero-padded to Cp in {64, 128} so each 128-lane row holds
+  G = 128//Cp consecutive W positions; the volume becomes a flat
+  (B*D*H*nb, 128) row array with nb = W*Cp//128 rows per H line.  This view
+  is a free HBM reshape, and — crucially — it is ALSO the natural matmul
+  operand shape, so the kernel never performs a lane-split reshape (Mosaic
+  materializes those as full relayout copies; the v1 kernel spent ~10x its
+  matmul time there).
+- Neighbor access becomes SUBLANE geometry: the previous/next W block of a
+  row is the previous/next sublane row (one f32 sublane roll), and the
+  h+-1 taps are slab slices at row offsets {0, nb, 2*nb} — statically
+  aligned (nb % 8 == 0), i.e. free views.  Rolls are done in f32
+  (Mosaic: "Rotate with non-32-bit data" is unimplemented; bf16 -> f32 ->
+  bf16 round-trips exactly).
+- Each of the 9 (dh, dd) taps costs 2 matmuls for G=2 (a within-block
+  Toeplitz "main" matmul + one packed edge matmul whose K halves read the
+  lane-disjoint halves of the rolled-up/rolled-down rows) or 3 for G=1
+  (main + left/right neighbor-row matmuls).  All are (ht*nb, 128) @
+  (128, 128) MXU tiles.
 - Pair input (xa, xb) standing for channel concat (the model's skip
   connections, nn/layers.py:Conv3d pair path): each half keeps its own
-  Cp=64 lane geometry and tap loop, accumulating into one f32 accumulator —
+  row array and tap loop, accumulating into one f32 accumulator —
   conv(concat(xa, xb), w) == conv(xa, w[:ca]) + conv(xb, w[ca:]) without
   ever materializing the concat.
-- H halos: the row array is padded by 8 rows top/bottom and each depth tap
-  DMAs one aligned (ht+16)-row slab (same scheme as ops/pallas_att.py);
-  plane-crossing halo rows are zeroed with one-row masks.
+- Depth taps DMA one ((ht+2)*nb)-row slab per (input, dd) from the
+  nb-row-padded flat array; plane-crossing H-halo row blocks are zeroed
+  with iota masks, out-of-range depth planes with a whole-slab mask.
 - Epilogue: per-channel scale/shift (bias or eval-folded BatchNorm) and
   PReLU fold into the accumulator before the single bf16 store, removing
   one full HBM round trip per Convolution block (nn/blocks.py).
@@ -42,7 +49,7 @@ conv blocks; numerics pinned against lax.conv in tests/test_pallas_conv333.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,9 +57,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(*refs, ht, h, w, cps, ndd, d_per_b, cpo, epilogue,
+def _conv_kernel(*refs, ht, h, nbs, g, ndd, d_per_b, nbo, epilogue,
                  out_dtype):
-    n_in = len(cps)
+    n_in = len(nbs)
     x_refs = refs[:n_in]
     w0_ref, we_ref, eps_ref, out_ref = refs[n_in:n_in + 4]
     slab_refs = refs[n_in + 4:n_in + 4 + n_in]
@@ -62,18 +69,19 @@ def _conv_kernel(*refs, ht, h, w, cps, ndd, d_per_b, cpo, epilogue,
     ntiles = h // ht
     bd = i // ntiles
     t = i % ntiles
-    h0 = t * ht
-    nbo = (w * cpo) // 128
 
     d = bd % d_per_b
     n_bd = pl.num_programs(0) // ntiles
     copies = []
     for xi in range(n_in):
+        nb = nbs[xi]
         for dd in range(ndd):
             doff = dd - (ndd // 2)
-            plane = jnp.clip(bd + doff, 0, n_bd - 1) * h
+            # flat row of H line (t*ht - 1) in plane clip(bd+doff) of the
+            # nb-row-padded array: (plane*h + t*ht - 1 + 1) * nb
+            start = (jnp.clip(bd + doff, 0, n_bd - 1) * h + t * ht) * nb
             copies.append(pltpu.make_async_copy(
-                x_refs[xi].at[pl.ds(plane + h0, ht + 16)],
+                x_refs[xi].at[pl.ds(start, (ht + 2) * nb)],
                 slab_refs[xi].at[dd], sem.at[xi, dd]))
     for c in copies:
         c.start()
@@ -84,17 +92,15 @@ def _conv_kernel(*refs, ht, h, w, cps, ndd, d_per_b, cpo, epilogue,
     mat_k = 0          # running index into the stacked w0/we matrices
     mat_e = 0
     for xi in range(n_in):
-        cp = cps[xi]
-        g = 128 // cp
-        wc = w * cp
-        nb = wc // 128
+        nb = nbs[xi]
+        cp = 128 // g
+        rows_n = ht * nb
         slabs = slab_refs[xi]
         zero = jnp.zeros((), slabs.dtype)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (ht, wc), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ht, wc), 1)
+        fr = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 128), 1)
 
-        def mm(lhs2d, mat, nb=nb):
-            lhs = lhs2d.reshape(ht, nb, 128).reshape(ht * nb, 128)
+        def mm(lhs, mat):
             return jax.lax.dot_general(lhs, mat, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
@@ -105,30 +111,31 @@ def _conv_kernel(*refs, ht, h, w, cps, ndd, d_per_b, cpo, epilogue,
                 valid = jnp.logical_and(d + doff >= 0, d + doff < d_per_b)
                 slab = jnp.where(valid, slab, zero)
             for dh in range(3):
-                rows = slab[7 + dh:7 + dh + ht]
+                # h-1/h/h+1 tap: a statically aligned slab slice (free view)
+                rows = slab[dh * nb:dh * nb + rows_n]
                 if dh == 0:
-                    rows = jnp.where((t == 0) & (ri == 0), zero, rows)
+                    rows = jnp.where((t == 0) & (fr < nb), zero, rows)
                 elif dh == 2:
-                    rows = jnp.where((t == ntiles - 1) & (ri == ht - 1),
+                    rows = jnp.where((t == ntiles - 1) & (fr >= rows_n - nb),
                                      zero, rows)
                 acc += mm(rows, w0_ref[mat_k])
                 mat_k += 1
+                # cross-block W taps: +-1 sublane roll in f32, zeroed at the
+                # W boundary (first/last block of each H line)
+                r32 = rows.astype(jnp.float32)
+                lo = pltpu.roll(r32, 1, 0)            # row r <- row r-1
+                lo = jnp.where(fr % nb == 0, 0.0, lo)
+                hi = pltpu.roll(r32, rows_n - 1, 0)   # row r <- row r+1
+                hi = jnp.where(fr % nb == nb - 1, 0.0, hi)
                 if g == 2:
-                    # edge K halves: positions 2g-1 (0:cp) / 2g+2 (cp:128)
-                    lo = pltpu.roll(rows, cp, 1)          # lane l <- l - cp
-                    hi = pltpu.roll(rows, wc - cp, 1)     # lane l <- l + cp
-                    xr = jnp.where(lane % 128 < cp, lo, hi)
-                    # zero the W-boundary taps (position -1 / position W)
-                    xr = jnp.where((lane < cp) | (lane >= wc - cp), zero, xr)
+                    # packed edge: K 0:cp <- pos 2g+2 (hi), K cp: <- pos
+                    # 2g-1 (lo) — lane-disjoint halves of different rolls
+                    xr = jnp.where(lane < cp, hi, lo).astype(slabs.dtype)
                     acc += mm(xr, we_ref[mat_e])
                     mat_e += 1
                 else:
-                    lo = pltpu.roll(rows, 128, 1)         # left neighbor
-                    hi = pltpu.roll(rows, wc - 128, 1)    # right neighbor
-                    lo = jnp.where(lane < 128, zero, lo)
-                    hi = jnp.where(lane >= wc - 128, zero, hi)
-                    acc += mm(lo, we_ref[mat_e])
-                    acc += mm(hi, we_ref[mat_e + 1])
+                    acc += mm(lo.astype(slabs.dtype), we_ref[mat_e])
+                    acc += mm(hi.astype(slabs.dtype), we_ref[mat_e + 1])
                     mat_e += 2
 
     if epilogue:
@@ -136,11 +143,10 @@ def _conv_kernel(*refs, ht, h, w, cps, ndd, d_per_b, cpo, epilogue,
         y = jnp.where(y >= 0, y, eps_ref[2][None] * y)
     else:
         y = acc
-    out_ref[...] = (y.astype(out_dtype)
-                    .reshape(ht, nbo, 128).reshape(ht, w * cpo))
+    out_ref[...] = y.astype(out_dtype)
 
 
-def _build_mats(w, cp: int, cpo: int, dtype):
+def _build_mats(w, cp: int, cpo: int):
     """Toeplitz block matrices for one input from (3, 3, 3, Cin, Cout)
     reference-order (kh, kw, kd) weights, channel-padded to cp (in) / cpo
     (out).  Traceable (static-index updates).  Requires the input block
@@ -164,16 +170,17 @@ def _build_mats(w, cp: int, cpo: int, dtype):
                             m = m.at[p * cp:(p + 1) * cp,
                                      q * cpo:(q + 1) * cpo].set(wf[dh, dw, dd])
                 w0s.append(m)
-                # K half 0: pos 2g-1 -> output 2g (dw=0);
-                # K half 1: pos 2g+2 -> output 2g+1 (dw=2)
+                # packed edge (see kernel): K half 0 = next row's pos 2g+2
+                # -> output 2g+1 (dw=2); K half 1 = prev row's pos 2g-1 ->
+                # output 2g (dw=0)
                 e = jnp.zeros((128, 128), jnp.float32)
-                e = e.at[0:cp, 0:cpo].set(wf[dh, 0, dd])
-                e = e.at[cp:128, cpo:128].set(wf[dh, 2, dd])
+                e = e.at[0:cp, cpo:128].set(wf[dh, 2, dd])
+                e = e.at[cp:128, 0:cpo].set(wf[dh, 0, dd])
                 wes.append(e)
             else:
                 w0s.append(wf[dh, 1, dd])
-                wes.append(wf[dh, 0, dd])       # left neighbor (dw=0)
-                wes.append(wf[dh, 2, dd])       # right neighbor (dw=2)
+                wes.append(wf[dh, 0, dd])       # prev row (dw=0)
+                wes.append(wf[dh, 2, dd])       # next row (dw=2)
     return w0s, wes
 
 
@@ -216,15 +223,17 @@ def conv333(x, w: jnp.ndarray,
     cpo = cp_all
     cps = tuple(cp_all for _ in cins)
     g = 128 // cpo
-    assert (W * cpo) % 128 == 0 and H % 8 == 0
-    ht = pick_ht(H)
-    assert ht, f"no row tile divides H={H}"
+    nbo = (W * cpo) // 128
+    nbs = tuple((W * cp) // 128 for cp in cps)
+    assert (W * cpo) % 128 == 0 and nbo % 8 == 0 and H % 8 == 0
+    ht = pick_ht(H, nbs, nbo)
+    assert ht, f"no row tile fits H={H} W={W} nbs={nbs}"
 
     dtype = xs[0].dtype
     w0s, wes = [], []
     c0 = 0
     for cin, cp in zip(cins, cps):
-        a, b = _build_mats(w[:, :, :, c0:c0 + cin, :], cp, cpo, dtype)
+        a, b = _build_mats(w[:, :, :, c0:c0 + cin, :], cp, cpo)
         w0s += a
         wes += b
         c0 += cin
@@ -239,26 +248,28 @@ def conv333(x, w: jnp.ndarray,
 
     rows = B * D * H
     xvs = []
-    for v, cp in zip(xs, cps):
+    for v, cp, nb in zip(xs, cps, nbs):
         cin = v.shape[-1]
         vp = v if cin == cp else jnp.pad(v, ((0, 0),) * 4 + ((0, cp - cin),))
-        xvs.append(jnp.pad(vp.reshape(rows, W * cp), ((8, 8), (0, 0))))
+        # free HBM reshape to the flat row array, padded one H line (nb
+        # rows) top and bottom so every slab DMA start is in range
+        xvs.append(jnp.pad(vp.reshape(rows * nb, 128), ((nb, nb), (0, 0))))
 
     grid = (B * D * (H // ht),)
     kernel = pl.pallas_call(
-        partial(_conv_kernel, ht=ht, h=H, w=W, cps=cps, ndd=3, d_per_b=D,
-                cpo=cpo, epilogue=epilogue, out_dtype=dtype),
+        partial(_conv_kernel, ht=ht, h=H, nbs=nbs, g=g, ndd=3, d_per_b=D,
+                nbo=nbo, epilogue=epilogue, out_dtype=dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in xs] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),    # w0
             pl.BlockSpec(memory_space=pltpu.VMEM),    # we
             pl.BlockSpec(memory_space=pltpu.VMEM),    # epilogue params
         ],
-        out_specs=pl.BlockSpec((ht, W * cpo), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ht * nbo, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, W * cpo), dtype),
+        out_shape=jax.ShapeDtypeStruct((rows * nbo, 128), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, ht + 16, W * cp), dtype) for cp in cps
+            pltpu.VMEM((3, (ht + 2) * nb, 128), dtype) for nb in nbs
         ] + [pltpu.SemaphoreType.DMA((len(xs), 3))],
         interpret=interpret,
     )
@@ -266,9 +277,25 @@ def conv333(x, w: jnp.ndarray,
     return out if out_padded else out[..., :Cout]
 
 
-def pick_ht(H: int) -> int:
+def _vmem_est(ht: int, nbs, nbo: int) -> int:
+    """Scoped-VMEM estimate (bytes): per-input DMA slabs (x3 depth taps),
+    bf16 out block, f32 accumulator, and ~3 live (ht*nb, 128) f32
+    roll/select temporaries (Mosaic keeps shifted views materialized —
+    round-2 lesson), plus the stacked Toeplitz matrices."""
+    slabs = sum(3 * (ht + 2) * nb * 128 * 2 for nb in nbs)
+    out = ht * nbo * 128 * (2 + 4)
+    temps = 3 * ht * max(nbs) * 128 * 4
+    mats = 27 * len(nbs) * 128 * 128 * 2 * 2
+    return slabs + out + temps + mats
+
+
+def pick_ht(H: int, nbs=(48,), nbo: int = 48,
+            budget: int = 12 << 20) -> int:
+    """Largest row tile dividing H whose scoped-VMEM estimate fits the
+    16 MB limit with headroom (the v5e compiler's scoped limit is 16 MB;
+    overshoot is a hard compile error)."""
     for ht in (48, 32, 24, 16, 8):
-        if H % ht == 0:
+        if H % ht == 0 and _vmem_est(ht, nbs, nbo) <= budget:
             return ht
     return 0
 
@@ -289,4 +316,38 @@ def can_conv333(x_shapes, w_shape) -> bool:
             return False
         cmax = max(cmax, int(s[4]))
     cpo = _cp_for(cmax)
-    return (W * cpo) % 128 == 0 and H % 8 == 0 and pick_ht(H) > 0
+    nbo = (W * cpo) // 128
+    if (W * cpo) % 128 or nbo % 8 or H % 8:
+        return False
+    nbs = [nbo] * len(x_shapes)
+    return pick_ht(H, nbs, nbo) > 0
+
+
+# Tests set this to exercise the fused path on CPU via interpret mode.
+FORCE_INTERPRET = False
+
+
+def force_interpret() -> bool:
+    return FORCE_INTERPRET
+
+
+def fusion_enabled() -> bool:
+    """conv333 dispatch from nn/blocks.py:Convolution: real Mosaic on TPU
+    (or interpret when forced), and never inside a spatial-sharding trace —
+    the kernel zero-pads H instead of exchanging halos there.
+    Opt-in: VS_CONV333=1 enables on TPU.  The window-scale A/B
+    (tools/fwd_probe.py, r3) measured the fused forward 15 ms SLOWER than
+    the XLA path (95 vs 80 ms / 2-window batch) despite winning isolated
+    chains — the pad/slice channel boundaries around each kernel call cost
+    more than the conv saves.  Keep off until the in-context win is
+    demonstrated."""
+    import os
+
+    from vs_seg_tpu.nn import layers
+
+    if layers._SPATIAL is not None:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    return (os.environ.get("VS_CONV333") == "1"
+            and jax.default_backend() == "tpu")
