@@ -201,6 +201,31 @@ class AttentionBlock1(nn.Module):
                 interpret=pallas_att.force_interpret())
             # the XLA `att` above is now dead -> DCE'd; expose the compact map
             return att_w[..., :1], (gated if pair else gated[0])
+        import os
+        if (not train and len({v.shape[-1] for v in xs}) == 1
+                and os.environ.get("VS_WIDE_ATT") == "1"):
+            # Opt-in pending proof: the r3 window-scale A/B measured this
+            # path 97 vs 80 ms / 2-window batch — the wide conv2 costs more
+            # than the lane-starved tail it removes at L0/L1 scale.
+            # Wide-conv2 gate: tile the C->1 conv2 weights to C->Cx so the
+            # attention map is born replicated over Cx lanes — every
+            # consumer (sigmoid, att*x + x) then runs at full lane width.
+            # A (..., 1) tensor forces lane-starved layouts on the whole
+            # tail: the r3 trace bills those ops ~28 ms of an 83 ms
+            # 2-window forward.  Numerically identical (each wide channel
+            # is the same dot product); the model's att-map output is a
+            # lane slice of the wide map.
+            from vs_seg_tpu.nn.layers import conv3d, same_padding
+
+            p = self.variables["params"]["conv2"]["conv"]
+            cw = xs[0].shape[-1]
+            w2w = jnp.tile(p["kernel"], (1, 1, 1, 1, cw))
+            b2w = jnp.broadcast_to(p["bias"].reshape(-1), (cw,))
+            pads = [(pi, pi) for pi in same_padding((kh, kw, kd))]
+            aw = conv3d(a1, w2w, b2w, (1, 1, 1), pads, dtype=self.dtype)
+            att_w = jax.nn.sigmoid(aw)
+            gated = tuple(att_w.astype(v.dtype) * v + v for v in xs)
+            return att_w[..., :1], (gated if pair else gated[0])
         return att, attention_gate(att, x)
 
 

@@ -81,6 +81,11 @@ def same_padding(kernel_size, dilation=1) -> Shape3:
     return tuple(int(p) for p in (k - 1) // 2 * d)
 
 
+def _d2c_enabled() -> bool:
+    import os
+    return os.environ.get("VS_D2C", "0") == "1"
+
+
 def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            strides: Shape3, padding: Sequence[Tuple[int, int]],
            dtype=jnp.bfloat16, lhs_dilation: Optional[Shape3] = None) -> jnp.ndarray:
@@ -124,6 +129,31 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
             lhs_dilation=None if lhs_dilation is None else ld[:2],
             dimension_numbers=_DN2, precision=precision)
         y = y.reshape(B, D, *y.shape[1:])
+    elif (kd == 3 and tuple(pd) == (1, 1) and lhs_dilation is None
+          and _SPATIAL is None and _d2c_enabled()):
+        # depth-in-channels: a (3,3,3) conv as ONE folded-2D conv whose
+        # input stacks the d-1/d/d+1 planes along C (kd*Cin input
+        # channels).  K triples (432 -> 1296 at the 48ch level), which
+        # moves the conv into the emitter's high-efficiency regime, and —
+        # unlike XLA's 3D path (EmitAllBatchInSublanes) — keeps every
+        # level in the same folded-2D layout family, eliminating the 6D
+        # space-to-batch relayout copies (~1.4 GB/2-window forward in the
+        # r3 trace).  Exact: channel index dd*Cin+c matches the
+        # (kh,kw,kd,Cin,Cout) -> (kh,kw,kd*Cin,Cout) weight reshape.
+        C = x.shape[-1]
+        zeros = ((0, 0),)
+        x_m = jnp.pad(x, zeros + ((1, 0),) + zeros * 3)[:, :D]
+        x_p = jnp.pad(x, zeros + ((0, 1),) + zeros * 3)[:, 1:]
+        xcat = jnp.concatenate([x_m, x, x_p], axis=-1)
+        if sd != 1:
+            xcat = xcat[:, ::sd]
+        Dc = xcat.shape[1]
+        y = jax.lax.conv_general_dilated(
+            xcat.reshape(B * Dc, *xcat.shape[2:]),
+            w.reshape(w.shape[0], w.shape[1], 3 * C, w.shape[4]),
+            window_strides=(sh, sw), padding=[ph, pw],
+            dimension_numbers=_DN2, precision=precision)
+        y = y.reshape(B, Dc, *y.shape[1:])
     else:
         y = jax.lax.conv_general_dilated(
             x, jnp.transpose(w, (2, 0, 1, 3, 4)),
