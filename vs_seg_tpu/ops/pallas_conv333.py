@@ -95,10 +95,11 @@ def _conv_kernel(*refs, ht, h, nbs, g, ndd, d_per_b, nbo, epilogue,
         nb = nbs[xi]
         cp = 128 // g
         rows_n = ht * nb
+        srows = (ht + 2) * nb
         slabs = slab_refs[xi]
         zero = jnp.zeros((), slabs.dtype)
-        fr = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 128), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 128), 1)
+        frs = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 1)
 
         def mm(lhs, mat):
             return jax.lax.dot_general(lhs, mat, (((1,), (0,)), ((), ())),
@@ -107,35 +108,42 @@ def _conv_kernel(*refs, ht, h, nbs, g, ndd, d_per_b, nbo, epilogue,
         for dd in range(ndd):
             doff = dd - (ndd // 2)
             slab = slabs[dd]
+            # out-of-range depth plane / plane-crossing H-halo row blocks:
+            # zero ONCE at slab level (first nb rows when t==0, last nb
+            # when t==ntiles-1) so every derived view inherits it
+            invalid = jnp.zeros((), jnp.bool_)
             if ndd > 1:
-                valid = jnp.logical_and(d + doff >= 0, d + doff < d_per_b)
-                slab = jnp.where(valid, slab, zero)
+                invalid = jnp.logical_or(d + doff < 0, d + doff >= d_per_b)
+            bad = (invalid | ((t == 0) & (frs < nb))
+                   | ((t == ntiles - 1) & (frs >= srows - nb)))
+            slab = jnp.where(bad, zero, slab)
+            # hoisted cross-block W-tap prep (one pass set per SLAB, not
+            # per tap — the per-tap VPU interleave throttles MXU issue):
+            # +-1 sublane rolls in f32, W-boundary masks, lane-packed
+            # select, single cast back to bf16
+            s32 = slab.astype(jnp.float32)
+            lo_s = pltpu.roll(s32, 1, 0)              # row r <- row r-1
+            lo_s = jnp.where(frs % nb == 0, 0.0, lo_s)
+            hi_s = pltpu.roll(s32, srows - 1, 0)      # row r <- row r+1
+            hi_s = jnp.where(frs % nb == nb - 1, 0.0, hi_s)
+            if g == 2:
+                # packed edge: K 0:cp <- pos 2g+2 (hi), K cp: <- pos 2g-1
+                # (lo) — lane-disjoint halves of different rolls
+                xr_s = jnp.where(lanes < cp, hi_s, lo_s).astype(slabs.dtype)
+            else:
+                lo_b = lo_s.astype(slabs.dtype)
+                hi_b = hi_s.astype(slabs.dtype)
             for dh in range(3):
-                # h-1/h/h+1 tap: a statically aligned slab slice (free view)
-                rows = slab[dh * nb:dh * nb + rows_n]
-                if dh == 0:
-                    rows = jnp.where((t == 0) & (fr < nb), zero, rows)
-                elif dh == 2:
-                    rows = jnp.where((t == ntiles - 1) & (fr >= rows_n - nb),
-                                     zero, rows)
-                acc += mm(rows, w0_ref[mat_k])
+                # h-1/h/h+1 taps: statically aligned slab slices (free)
+                sl = slice(dh * nb, dh * nb + rows_n)
+                acc += mm(slab[sl], w0_ref[mat_k])
                 mat_k += 1
-                # cross-block W taps: +-1 sublane roll in f32, zeroed at the
-                # W boundary (first/last block of each H line)
-                r32 = rows.astype(jnp.float32)
-                lo = pltpu.roll(r32, 1, 0)            # row r <- row r-1
-                lo = jnp.where(fr % nb == 0, 0.0, lo)
-                hi = pltpu.roll(r32, rows_n - 1, 0)   # row r <- row r+1
-                hi = jnp.where(fr % nb == nb - 1, 0.0, hi)
                 if g == 2:
-                    # packed edge: K 0:cp <- pos 2g+2 (hi), K cp: <- pos
-                    # 2g-1 (lo) — lane-disjoint halves of different rolls
-                    xr = jnp.where(lane < cp, hi, lo).astype(slabs.dtype)
-                    acc += mm(xr, we_ref[mat_e])
+                    acc += mm(xr_s[sl], we_ref[mat_e])
                     mat_e += 1
                 else:
-                    acc += mm(lo.astype(slabs.dtype), we_ref[mat_e])
-                    acc += mm(hi.astype(slabs.dtype), we_ref[mat_e + 1])
+                    acc += mm(lo_b[sl], we_ref[mat_e])
+                    acc += mm(hi_b[sl], we_ref[mat_e + 1])
                     mat_e += 2
 
     if epilogue:

@@ -1,0 +1,387 @@
+"""Pallas TPU mega-kernel: one decoder attention block, end to end.
+
+The reference decoder at each level runs (params/networks/nets/unet2d5_spvPA.py
+:174-202, attentionblock.py:6-47, convolutions.py:159-255):
+
+    a1  = relu(conv1(concat(xa, xb)))          # C -> C/2, (3,3,3)
+    att = sigmoid(conv2(a1))                   # C/2 -> 1, (3,3,3)
+    g   = att * x + x   (both halves)          # AttentionBlock2 gate
+    u   = prelu(bn(conv0(concat(ga, gb))))     # ResidualUnit subunit (3,3,3)
+    out = u + conv1x1(concat(ga, gb))          # residual branch
+
+On XLA this block costs ~34 ms of an 83 ms 2-window forward at L2 (r3
+attribution, docs/KERNELS.md): every producer->consumer edge at (96,96,48)
+relayouts 453 MB between the conv-preferred and elementwise-preferred
+layouts, and the C->1 conv2 runs at 2.5 TF/s.  A single-op Pallas kernel
+cannot win (the custom call is itself a layout barrier) — but ONE kernel for
+the WHOLE block pays the barrier twice (inputs, output) instead of ~20x.
+
+Design (builds on ops/pallas_conv333.py v2/v3):
+- Everything lives in MXU-native (rows, 128) tiles of the flat
+  (B*D*H*nb, 128) view, channels padded to cp=64 (g = 2 W-positions per
+  128-lane block; this kernel requires g == 2).
+- Convs are banded block matmuls: per (depth-tap, h-tap) one "main"
+  within-block Toeplitz matmul + one packed "edge" matmul reading the
+  +-1-sublane-rolled rows (see conv333).  conv2 (C->1) uses
+  column-broadcast Toeplitz blocks so the attention value comes out
+  replicated across each position's cp lanes — exactly the operand the
+  gate needs, no (.., 1) tensor ever exists.
+- A 4-stage software pipeline over depth planes (grid innermost dim
+  s = 0..D+2), with VMEM ring buffers persisting across grid steps:
+    stage A (plane s):    DMA both input slabs        -> x rings (3 deep)
+    stage B (plane s-1):  conv1 + bias + relu         -> a1 main/edge rings
+    stage C (plane s-2):  conv2 + sigmoid + gate      -> gated main/edge rings
+    stage D (plane s-3):  unit0 conv + BN/PReLU + 1x1 residual -> out block
+  Each conv consumes the three ring entries around its plane, so every
+  intermediate plane is computed exactly once per H-tile (the only
+  recompute is the H-halo overlap, (ht+4)/ht on conv1).
+- Chained same-pad semantics: intermediate halo rows OUTSIDE the plane
+  (H edges, depth edges) are forced to exact zeros after each stage's
+  epilogue — matching what the unfused convs' zero padding produces —
+  and W edges are handled by the roll masks.
+
+Numerics pinned against the composed nn/blocks.py modules in
+tests/test_pallas_l2block.py (interpret mode) and on real Mosaic via
+tools/l2block_probe.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vs_seg_tpu.ops.pallas_conv333 import _build_mats
+
+OF = 8  # x-slab H over-fetch (rows) for DMA sublane alignment
+
+
+def _edge_prep(buf, nb: int, dtype):
+    """f32 +-1 sublane rolls, W-boundary masks, lane-packed select (g=2):
+    returns the edge-matmul operand for `buf` (the conv333 v3 hoisted
+    form).  buf: (rows, 128) f32 or bf16 value."""
+    rows = buf.shape[0]
+    fr = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    b32 = buf.astype(jnp.float32)
+    lo = pltpu.roll(b32, 1, 0)
+    lo = jnp.where(fr % nb == 0, 0.0, lo)
+    hi = pltpu.roll(b32, rows - 1, 0)
+    hi = jnp.where(fr % nb == nb - 1, 0.0, hi)
+    return jnp.where(lane < 64, hi, lo).astype(dtype)
+
+
+def _mm(lhs, mat):
+    return jax.lax.dot_general(lhs, mat, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
+                    w0m_ref, w0e_ref, wr_ref, eps_ref, out_ref,
+                    xr_a, xr_b, a1m_r, a1x_r, gm_a, gx_a, gm_b, gx_b, sem,
+                    *, ht, h, nb, d_per_b, out_dtype):
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    ti = pl.program_id(1)
+    nt = h // ht
+    srows = (ht + 2 * OF) * nb
+    rows_a1 = (ht + 4) * nb
+    rows_g = (ht + 2) * nb
+    rows_o = ht * nb
+
+    x_rings = (xr_a, xr_b)
+    g_rings = ((gm_a, gx_a), (gm_b, gx_b))
+
+    # ---- stage A: DMA plane s of both inputs into the x rings ----------
+    @pl.when(s < d_per_b)
+    def _load():
+        start = ((b * d_per_b + s) * h + ti * ht) * nb  # incl. global pad OF
+        for xi, (x_ref, ring) in enumerate(zip((xa_ref, xb_ref), x_rings)):
+            cp = pltpu.make_async_copy(
+                x_ref.at[pl.ds(start, srows)], ring.at[s % 3], sem.at[xi])
+            cp.start()
+            cp.wait()
+
+    def x_slab(xi, p):
+        """Plane-p slab of input xi, with invalid rows zeroed (out-of-range
+        plane; H-tile halo rows that crossed a plane boundary)."""
+        slab = x_rings[xi][jax.lax.rem(p + 3, 3)]
+        fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+        bad = ((p < 0) | (p >= d_per_b)
+               | ((ti == 0) & (fr < OF * nb))
+               | ((ti == nt - 1) & (fr >= srows - OF * nb)))
+        return jnp.where(bad, jnp.zeros((), slab.dtype), slab)
+
+    # ---- stage B: a1(s-1) = relu(conv1(pair x) + b1) --------------------
+    @pl.when((s >= 1) & (s - 1 < d_per_b))
+    def _a1():
+        q = s - 1
+        acc = jnp.zeros((rows_a1, 128), jnp.float32)
+        k = 0
+        for xi in range(2):
+            for dd in range(3):
+                slab = x_slab(xi, q + dd - 1)
+                xr = _edge_prep(slab, nb, slab.dtype)
+                for dh in range(3):
+                    # a1 output rows start at h0-2; tap dh reads input rows
+                    # h0-2+(dh-1) -> slab offset (OF-3+dh)*nb
+                    sl = slice((OF - 3 + dh) * nb, (OF - 3 + dh) * nb + rows_a1)
+                    acc += _mm(slab[sl], w1m_ref[k])
+                    acc += _mm(xr[sl], w1e_ref[k])
+                    k += 1
+        a1 = jnp.maximum(acc + eps_ref[0][None], 0.0)
+        # rows outside the plane must be EXACT zeros (conv2 zero-pads its
+        # input in the unfused computation, not relu(bias))
+        fr = jax.lax.broadcasted_iota(jnp.int32, (rows_a1, 128), 0)
+        bad = (((ti == 0) & (fr < 2 * nb))
+               | ((ti == nt - 1) & (fr >= rows_a1 - 2 * nb)))
+        a1 = jnp.where(bad, 0.0, a1)
+        a1m_r[q % 3] = a1.astype(out_dtype)
+        a1x_r[q % 3] = _edge_prep(a1, nb, out_dtype)
+
+    def a1_bufs(p):
+        valid = (p >= 0) & (p < d_per_b)
+        zero = jnp.zeros((), out_dtype)
+        i = jax.lax.rem(p + 3, 3)
+        return (jnp.where(valid, a1m_r[i], zero),
+                jnp.where(valid, a1x_r[i], zero))
+
+    # ---- stage C: att(s-2) wide + gate -> gated rings -------------------
+    @pl.when((s >= 2) & (s - 2 < d_per_b))
+    def _gate():
+        p = s - 2
+        acc = jnp.zeros((rows_g, 128), jnp.float32)
+        k = 0
+        for dd in range(3):
+            a1m, a1x = a1_bufs(p + dd - 1)
+            for dh in range(3):
+                sl = slice(dh * nb, dh * nb + rows_g)
+                acc += _mm(a1m[sl], w2m_ref[k])
+                acc += _mm(a1x[sl], w2e_ref[k])
+                k += 1
+        att = jax.nn.sigmoid(acc + eps_ref[1][None])  # wide: every lane of
+        # a W-position block holds that position's attention value
+        fr = jax.lax.broadcasted_iota(jnp.int32, (rows_g, 128), 0)
+        bad = (((ti == 0) & (fr < nb))
+               | ((ti == nt - 1) & (fr >= rows_g - nb)))
+        for xi in range(2):
+            sl = slice((OF - 1) * nb, (OF - 1) * nb + rows_g)
+            x = x_slab(xi, p)[sl].astype(jnp.float32)
+            g = jnp.where(bad, 0.0, att * x + x)
+            gm, gx = g_rings[xi]
+            gm[p % 3] = g.astype(out_dtype)
+            gx[p % 3] = _edge_prep(g, nb, out_dtype)
+
+    def g_bufs(xi, p):
+        valid = (p >= 0) & (p < d_per_b)
+        zero = jnp.zeros((), out_dtype)
+        gm, gx = g_rings[xi]
+        i = jax.lax.rem(p + 3, 3)
+        return (jnp.where(valid, gm[i], zero),
+                jnp.where(valid, gx[i], zero))
+
+    # ---- stage D: out(s-3) = prelu(bn(conv0(g))) + conv1x1(g) -----------
+    @pl.when(s >= 3)
+    def _out():
+        o = s - 3
+        acc = jnp.zeros((rows_o, 128), jnp.float32)
+        accr = jnp.zeros((rows_o, 128), jnp.float32)
+        k = 0
+        for xi in range(2):
+            for dd in range(3):
+                gm, gx = g_bufs(xi, o + dd - 1)
+                for dh in range(3):
+                    sl = slice(dh * nb, dh * nb + rows_o)
+                    acc += _mm(gm[sl], w0m_ref[k])
+                    acc += _mm(gx[sl], w0e_ref[k])
+                    k += 1
+            gm, _ = g_bufs(xi, o)
+            accr += _mm(gm[nb:nb + rows_o], wr_ref[xi])
+        y = acc * eps_ref[2][None] + eps_ref[3][None]
+        y = jnp.where(y >= 0, y, eps_ref[4][None] * y)
+        out_ref[...] = (y + accr + eps_ref[5][None]).astype(out_dtype)
+
+
+def _colcast_mats(w2):
+    """conv2 (C->1) Toeplitz blocks with COLUMN-BROADCAST weights: the
+    matmul reduces over channels and replicates the scalar across every
+    output lane of the position block (wide attention).  w2:
+    (3, 3, 3, C, 1) reference (kh, kw, kd) order, C <= 64."""
+    C = w2.shape[3]
+    wf = jnp.zeros((3, 3, 3, 64), jnp.float32)
+    wf = wf.at[:, :, :, :C].set(jnp.asarray(w2[..., 0], jnp.float32))
+    mains, edges = [], []
+    for dd in range(3):
+        for dh in range(3):
+            m = jnp.zeros((128, 128), jnp.float32)
+            for p in range(2):
+                for q in range(2):
+                    dw = p - q + 1
+                    if 0 <= dw <= 2:
+                        col = wf[dh, dw, dd]
+                        m = m.at[p * 64:(p + 1) * 64,
+                                 q * 64:(q + 1) * 64].set(
+                            jnp.broadcast_to(col[:, None], (64, 64)))
+            mains.append(m)
+            e = jnp.zeros((128, 128), jnp.float32)
+            e = e.at[0:64, 64:128].set(
+                jnp.broadcast_to(wf[dh, 2, dd][:, None], (64, 64)))
+            e = e.at[64:128, 0:64].set(
+                jnp.broadcast_to(wf[dh, 0, dd][:, None], (64, 64)))
+            edges.append(e)
+    return mains, edges
+
+
+def _res_mats(wr, ca: int, cb: int, cout: int):
+    """1x1x1 residual conv as per-half block-diagonal (128, 128) matrices
+    (position p maps to position p).  wr: (1, 1, 1, ca+cb, cout)."""
+    mats = []
+    c0 = 0
+    for cin in (ca, cb):
+        blk = jnp.zeros((64, 64), jnp.float32)
+        blk = blk.at[:cin, :cout].set(
+            jnp.asarray(wr[0, 0, 0, c0:c0 + cin], jnp.float32))
+        m = jnp.zeros((128, 128), jnp.float32)
+        m = m.at[0:64, 0:64].set(blk)
+        m = m.at[64:128, 64:128].set(blk)
+        mats.append(m)
+        c0 += cin
+    return mats
+
+
+def _pad_vec(v, cout, default):
+    if v is None:
+        return jnp.full((128,), default, jnp.float32)
+    v = jnp.asarray(v, jnp.float32).reshape(-1)
+    if v.shape[0] == 1 and cout > 1:
+        v = jnp.broadcast_to(v, (cout,))
+    return jnp.tile(jnp.pad(v, (0, 64 - v.shape[0])), 2)
+
+
+def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
+             br, interpret: bool = False):
+    """Fused decoder attention block (eval).  xa, xb: (B, D, H, W, C)
+    bf16 pair halves (C <= 64, equal); w1 (3,3,3,2C,C), w2 (3,3,3,C,1),
+    w0 (3,3,3,2C,C), wr (1,1,1,2C,C); bn_scale/bn_shift are the folded
+    eval BatchNorm affine ALREADY including unit0's conv bias (i.e.
+    y = conv0(g)*bn_scale + bn_shift); alpha the PReLU slope; br the
+    residual bias.  Returns (B, D, H, W, C)."""
+    B, D, H, W, C = xa.shape
+    assert xb.shape == xa.shape and C <= 64
+    nb = (W * 64) // 128
+    assert (W * 64) % 128 == 0 and nb % 8 == 0 and H % 8 == 0
+    ht = pick_ht_l2(H, nb)
+    assert ht, f"no row tile fits H={H} W={W}"
+    dtype = xa.dtype
+
+    def mats_for(w, cins):
+        ms, es = [], []
+        c0 = 0
+        for cin in cins:
+            a, b_ = _build_mats(w[:, :, :, c0:c0 + cin, :], 64, 64)
+            ms += a
+            es += b_
+            c0 += cin
+        return (jnp.stack(ms).astype(dtype), jnp.stack(es).astype(dtype))
+
+    w1m, w1e = mats_for(w1, (C, C))
+    w0m, w0e = mats_for(w0, (C, C))
+    m2, e2 = _colcast_mats(w2)
+    w2m = jnp.stack(m2).astype(dtype)
+    w2e = jnp.stack(e2).astype(dtype)
+    wrm = jnp.stack(_res_mats(wr, C, C, C)).astype(dtype)
+
+    eps = jnp.stack([
+        _pad_vec(b1, C, 0.0),                      # conv1 bias
+        jnp.full((128,), jnp.asarray(b2, jnp.float32).reshape(()),
+                 jnp.float32),                     # conv2 bias (scalar)
+        _pad_vec(bn_scale, C, 1.0),                # unit0 BN scale
+        _pad_vec(bn_shift, C, 0.0),                # unit0 BN shift (+bias)
+        _pad_vec(alpha, C, 1.0),                   # PReLU slope
+        _pad_vec(br, C, 0.0),                      # residual bias
+    ])
+
+    rows = B * D * H
+    xvs = []
+    for v in (xa, xb):
+        vp = v if C == 64 else jnp.pad(v, ((0, 0),) * 4 + ((0, 64 - C),))
+        xvs.append(jnp.pad(vp.reshape(rows * nb, 128),
+                           ((OF * nb, OF * nb), (0, 0))))
+
+    srows = (ht + 2 * OF) * nb
+    rows_a1 = (ht + 4) * nb
+    rows_g = (ht + 2) * nb
+    nt = H // ht
+
+    grid = (B, nt, D + 3)
+    kernel = pl.pallas_call(
+        partial(_l2block_kernel, ht=ht, h=H, nb=nb, d_per_b=D,
+                out_dtype=dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec(
+            (ht * nb, 128),
+            lambda b, ti, s: ((b * D + jnp.clip(s - 3, 0, D - 1)) * nt + ti,
+                              0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows * nb, 128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, srows, 128), dtype),      # xr_a
+            pltpu.VMEM((3, srows, 128), dtype),      # xr_b
+            pltpu.VMEM((3, rows_a1, 128), dtype),    # a1 main ring
+            pltpu.VMEM((3, rows_a1, 128), dtype),    # a1 edge ring
+            pltpu.VMEM((3, rows_g, 128), dtype),     # gated a main
+            pltpu.VMEM((3, rows_g, 128), dtype),     # gated a edge
+            pltpu.VMEM((3, rows_g, 128), dtype),     # gated b main
+            pltpu.VMEM((3, rows_g, 128), dtype),     # gated b edge
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    out = kernel(*xvs, w1m, w1e, w2m, w2e, w0m, w0e, wrm, eps)
+    return out.reshape(B, D, H, W, 64)[..., :C]
+
+
+def _l2_vmem_est(ht: int, nb: int) -> int:
+    srows = (ht + 2 * OF) * nb
+    bufs = (2 * 3 * srows + 2 * 3 * (ht + 4) * nb + 4 * 3 * (ht + 2) * nb)
+    mats = (36 + 36 + 18 + 2) * 128 * 128
+    accs = 2 * ht * nb * 128 * 4 + ht * nb * 128 * 2
+    temps = 4 * srows * 128 * 4                      # roll/select f32 views
+    return bufs * 128 * 2 + mats * 2 + accs + temps
+
+
+def pick_ht_l2(H: int, nb: int, budget: int = 12 << 20) -> int:
+    for ht in (32, 24, 16, 8):
+        if H % ht == 0 and _l2_vmem_est(ht, nb) <= budget:
+            return ht
+    return 0
+
+
+def can_l2_block(shape, C: int) -> bool:
+    B, D, H, W = shape[:4]
+    nb = (W * 64) // 128
+    return (C <= 64 and (W * 64) % 128 == 0 and nb % 8 == 0
+            and H % 8 == 0 and pick_ht_l2(H, nb) > 0 and D >= 1)
+
+
+# Tests set this to exercise the fused path on CPU via interpret mode.
+FORCE_INTERPRET = False
+
+
+def fusion_enabled() -> bool:
+    import os
+
+    from vs_seg_tpu.nn import layers
+
+    if layers._SPATIAL is not None:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    return (os.environ.get("VS_L2BLOCK", "0") == "1"
+            and jax.default_backend() == "tpu")
