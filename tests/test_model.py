@@ -267,3 +267,37 @@ def test_fused_conv333_matches_reference():
         assert a.shape == r.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_fused_l2block_matches_reference():
+    """The fused decoder-block mega-kernel dispatch (l2block in the model
+    decoder) must reproduce the unfused XLA path at eval.  The level-1
+    decoder block of this 3-level config fuses (16ch pair at 16x16); the
+    (3,3,1) level-0 block falls back."""
+    from vs_seg_tpu.ops import pallas_l2block
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=1, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    assert not pallas_l2block.fusion_enabled()
+    pallas_l2block.FORCE_INTERPRET = True
+    try:
+        assert pallas_l2block.fusion_enabled()
+        logits, atts = model.apply(variables, x, train=False)
+    finally:
+        pallas_l2block.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)

@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""TPU probe for the fused decoder-block mega-kernel (ops/pallas_l2block.py):
+numerics on real Mosaic, then dependent-chain two-length differenced timing
+vs the composed XLA block (AttentionBlock1 gate + ResidualUnit) at the
+flagship L2 shape.
+
+Usage: python tools/l2block_probe.py [check|time|all]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vs_seg_tpu.nn.blocks import AttentionBlock1, ResidualUnit, attention_gate
+from vs_seg_tpu.ops.pallas_l2block import l2_block
+
+REPS = 6
+CHAIN_LO = 2
+CHAIN_HI = 10
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def build(C, dtype):
+    att = AttentionBlock1((3, 3, 3), dtype=dtype)
+    ru = ResidualUnit(features=C, kernel_size=(3, 3, 3), subunits=1,
+                      dropout=None, dtype=dtype)
+    return att, ru
+
+
+def make_vars(att, ru, xa, xb):
+    att_vars = att.init({"params": jax.random.key(0)}, (xa, xb),
+                        train=False, gate=False)
+    ru_vars = ru.init({"params": jax.random.key(1)}, (xa, xb), train=False)
+    bs = ru_vars["batch_stats"]["unit0"]["norm"]
+    bs = {"mean": bs["mean"] + 0.2, "var": bs["var"] * 1.5}
+    ru_vars = {"params": ru_vars["params"],
+               "batch_stats": {"unit0": {"norm": bs}}}
+    return att_vars, ru_vars
+
+
+def xla_block(att, ru, att_vars, ru_vars, xa, xb):
+    a, _ = att.apply(att_vars, (xa, xb), train=False, gate=False)
+    ga, gb = attention_gate(a, (xa, xb))
+    return ru.apply(ru_vars, (ga, gb), train=False)
+
+
+def fused_args(att_vars, ru_vars):
+    p = att_vars["params"]
+    rp = ru_vars["params"]
+    bs = ru_vars["batch_stats"]["unit0"]["norm"]
+    inv = rp["unit0"]["norm"]["scale"] * jax.lax.rsqrt(bs["var"] + 1e-5)
+    shift = (rp["unit0"]["norm"]["bias"] - bs["mean"] * inv
+             + rp["unit0"]["conv"]["bias"] * inv)
+    return dict(
+        w1=p["conv1"]["conv"]["kernel"], b1=p["conv1"]["conv"]["bias"],
+        w2=p["conv2"]["conv"]["kernel"], b2=p["conv2"]["conv"]["bias"],
+        w0=rp["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
+        alpha=rp["unit0"]["act"]["alpha"],
+        wr=rp["residual"]["kernel"], br=rp["residual"]["bias"])
+
+
+def chain_timed(fn, xa, xb):
+    def step(acc, _):
+        y = fn(xa + acc.astype(xa.dtype), xb + acc.astype(xb.dtype))
+        return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-12, ()
+
+    bests = []
+    for n in (CHAIN_LO, CHAIN_HI):
+        @jax.jit
+        def run(xa, xb):
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+            return acc[None]
+
+        sync(run(xa, xb))
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            sync(run(xa, xb))
+            best = min(best, time.perf_counter() - t0)
+            time.sleep(0.5)
+        bests.append(best)
+    return (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    C = 48
+    for name, (B, D, H, W) in (("L2 (1,8,96,96)", (1, 8, 96, 96)),
+                               ("L2 (2,16,96,96)", (2, 16, 96, 96))):
+        xa = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.bfloat16)
+        xb = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.bfloat16)
+        att, ru = build(C, jnp.bfloat16)
+        att_vars, ru_vars = make_vars(att, ru, xa, xb)
+        fa = fused_args(att_vars, ru_vars)
+
+        if which in ("all", "check") and B == 1:
+            ref = jax.jit(lambda a, b: xla_block(att, ru, att_vars, ru_vars,
+                                                 a, b))(xa, xb)
+            out = l2_block(xa, xb, **fa)
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                        - ref.astype(jnp.float32))))
+            print(f"{name}: max abs err {err:.3e} "
+                  f"(ref absmax {float(jnp.max(jnp.abs(ref))):.2f})")
+            sys.stdout.flush()
+        if which in ("all", "time") and B == 2:
+            useful = 2 * B * D * H * W * 27 * C * (96 + 96 + 1) + \
+                2 * B * D * H * W * 96 * C
+            dt_x = chain_timed(
+                lambda a, b: xla_block(att, ru, att_vars, ru_vars, a, b),
+                xa, xb)
+            dt_p = chain_timed(lambda a, b: l2_block(a, b, **fa), xa, xb)
+            print(f"{name}: xla {dt_x*1e3:7.2f} ms ({useful/dt_x/1e12:5.1f}"
+                  f" TF/s)  fused {dt_p*1e3:7.2f} ms "
+                  f"({useful/dt_p/1e12:5.1f} TF/s)  ({dt_x/dt_p:.2f}x)")
+            sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,7 @@ class UNet2d5_spvPA(nn.Module):
             # conv over the halves (exact; avoids the materialized concat and
             # its layout-transpose copies — nn/layers.Conv3d pair path)
             x = (skips[i], x.astype(skips[i].dtype))
+            pair_in = x
             if self.attention_module:
                 att, x = AttentionBlock1(self.kernel_sizes[i], dtype=self.dtype,
                                          name=f"upatt_{i}")(x, train, gate=True)
@@ -116,5 +117,53 @@ class UNet2d5_spvPA(nn.Module):
             outc = self.out_channels if i == 0 else self.channels[i]
             x = ResidualUnit_(outc, self.kernel_sizes[i], subunits=1,
                               last_conv_only=(i == 0), name=f"up_{i}", **common)(x, train)
+            if self._l2block_fusable(pair_in, i, outc, train,
+                                     ResidualUnit_ is ResidualUnit):
+                # Fused decoder-block Pallas path (ops/pallas_l2block.py):
+                # the whole att-conv1 -> conv2+sigmoid -> gate -> unit0 ->
+                # residual chain in one kernel.  The traced XLA chain above
+                # stays for parameter creation / the att map and falls to
+                # DCE at inference; numerics pinned by
+                # tests/test_model.py::test_fused_l2block_matches_reference.
+                x = self._l2block_apply(pair_in, i)
 
         return x, tuple(att_maps)
+
+    def _l2block_fusable(self, pair_in, i: int, outc: int, train: bool,
+                         own_blocks: bool) -> bool:
+        from vs_seg_tpu.nn.layers import _triple
+        from vs_seg_tpu.ops import pallas_l2block
+
+        if (train or i == 0 or not self.attention_module or not own_blocks
+                or self.is_initializing()
+                or _triple(self.kernel_sizes[i]) != (3, 3, 3)
+                or not pallas_l2block.fusion_enabled()):
+            return False
+        xa, xb = pair_in
+        c = int(xa.shape[-1])
+        return (int(xb.shape[-1]) == c and outc == c
+                and tuple(xb.shape) == tuple(xa.shape)
+                and pallas_l2block.can_l2_block(xa.shape, c))
+
+    def _l2block_apply(self, pair_in, i: int):
+        import jax
+
+        from vs_seg_tpu.ops import pallas_l2block
+
+        p = self.variables["params"]
+        att_p = p[f"upatt_{i}"]
+        ru_p = p[f"up_{i}"]
+        bn = self.variables["batch_stats"][f"up_{i}"]["unit0"]["norm"]
+        inv = ru_p["unit0"]["norm"]["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+        shift = (ru_p["unit0"]["norm"]["bias"] - bn["mean"] * inv
+                 + ru_p["unit0"]["conv"]["bias"] * inv)
+        return pallas_l2block.l2_block(
+            pair_in[0], pair_in[1],
+            w1=att_p["conv1"]["conv"]["kernel"],
+            b1=att_p["conv1"]["conv"]["bias"],
+            w2=att_p["conv2"]["conv"]["kernel"],
+            b2=att_p["conv2"]["conv"]["bias"],
+            w0=ru_p["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
+            alpha=ru_p["unit0"]["act"]["alpha"],
+            wr=ru_p["residual"]["kernel"], br=ru_p["residual"]["bias"],
+            interpret=pallas_l2block.FORCE_INTERPRET)
