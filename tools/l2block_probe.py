@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""TPU probe for the fused decoder-block mega-kernel (ops/pallas_l2block.py):
-numerics on real Mosaic, then dependent-chain two-length differenced timing
-vs the composed XLA block (AttentionBlock1 gate + ResidualUnit) at the
-flagship L2 shape.
+"""TPU probe for the fused block mega-kernels (ops/pallas_l2block.py and
+ops/pallas_rublock.py): numerics on real Mosaic, then dependent-chain
+two-length differenced timing vs the composed XLA blocks at the flagship
+L2 shapes.
 
-Usage: python tools/l2block_probe.py [check|time|all]
+Usage: python tools/l2block_probe.py [check|time|all|ru]
 """
 
 import sys
@@ -16,6 +16,7 @@ import numpy as np
 
 from vs_seg_tpu.nn.blocks import AttentionBlock1, ResidualUnit, attention_gate
 from vs_seg_tpu.ops.pallas_l2block import l2_block
+from vs_seg_tpu.ops.pallas_rublock import ru_block
 
 REPS = 6
 CHAIN_LO = 2
@@ -88,9 +89,87 @@ def chain_timed(fn, xa, xb):
     return (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
 
 
+def ru_fused_args(ru_vars):
+    p = ru_vars["params"]
+    bs = ru_vars["batch_stats"]
+
+    def folded(u):
+        up, ub = p[u], bs[u]["norm"]
+        inv = up["norm"]["scale"] * jax.lax.rsqrt(ub["var"] + 1e-5)
+        sh = (up["norm"]["bias"] - ub["mean"] * inv
+              + up["conv"]["bias"] * inv)
+        return up["conv"]["kernel"], inv, sh, up["act"]["alpha"]
+
+    w0, s0, h0, a0 = folded("unit0")
+    w1, s1, h1, a1 = folded("unit1")
+    return dict(w0=w0, bn0_scale=s0, bn0_shift=h0, alpha0=a0,
+                w1=w1, bn1_scale=s1, bn1_shift=h1, alpha1=a1,
+                wr=p["residual"]["kernel"], br=p["residual"]["bias"])
+
+
+def run_ru():
+    """Encoder-block probe: flagship L2 down block (32->48ch at 96x96)."""
+    rng = np.random.default_rng(0)
+    for name, (B, D, H, W), check in (("enc-L2 (1,8,96,96)", (1, 8, 96, 96),
+                                       True),
+                                      ("enc-L2 (2,16,96,96)",
+                                       (2, 16, 96, 96), False)):
+        Cin, Cout = 32, 48
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, Cin)), jnp.bfloat16)
+        ru = ResidualUnit(features=Cout, kernel_size=(3, 3, 3), subunits=2,
+                          dropout=None, dtype=jnp.bfloat16)
+        ru_vars = ru.init({"params": jax.random.key(0)}, x, train=False)
+        ru_vars = jax.tree.map(lambda t: t + 0.1 if t.ndim == 1 else t,
+                               ru_vars)
+        fa = ru_fused_args(ru_vars)
+        if check:
+            ref = jax.jit(lambda a: ru.apply(ru_vars, a, train=False))(x)
+            out = ru_block(x, **fa)
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                        - ref.astype(jnp.float32))))
+            print(f"{name}: max abs err {err:.3e} "
+                  f"(ref absmax {float(jnp.max(jnp.abs(ref))):.2f})")
+        else:
+            useful = 2 * B * D * H * W * (27 * Cin * Cout + 27 * Cout * Cout
+                                          + Cin * Cout)
+            dt_x = chain_timed_single(
+                lambda a: ru.apply(ru_vars, a, train=False), x)
+            dt_p = chain_timed_single(lambda a: ru_block(a, **fa), x)
+            print(f"{name}: xla {dt_x*1e3:7.2f} ms ({useful/dt_x/1e12:5.1f}"
+                  f" TF/s)  fused {dt_p*1e3:7.2f} ms "
+                  f"({useful/dt_p/1e12:5.1f} TF/s)  ({dt_x/dt_p:.2f}x)")
+        sys.stdout.flush()
+
+
+def chain_timed_single(fn, x):
+    def step(acc, _):
+        y = fn(x + acc.astype(x.dtype))
+        return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-12, ()
+
+    bests = []
+    for n in (CHAIN_LO, CHAIN_HI):
+        @jax.jit
+        def run(x):
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+            return acc[None]
+
+        sync(run(x))
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            sync(run(x))
+            best = min(best, time.perf_counter() - t0)
+            time.sleep(0.5)
+        bests.append(best)
+    return (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"devices: {jax.devices()}")
+    if which == "ru":
+        run_ru()
+        return
     rng = np.random.default_rng(0)
     C = 48
     for name, (B, D, H, W) in (("L2 (1,8,96,96)", (1, 8, 96, 96)),

@@ -154,7 +154,52 @@ class ResidualUnit(nn.Module):
         else:
             assert not pair, "identity residual undefined for pair input"
             res = x
-        return cx + res
+        out = cx + res
+        if self._rublock_fusable(x, train, pair, in_features):
+            # Fused encoder-block Pallas path (ops/pallas_rublock.py):
+            # conv0+BN/PReLU -> conv1+BN/PReLU -> 1x1 residual in one
+            # depth-pipelined kernel.  The traced XLA chain above stays for
+            # parameter creation and falls to DCE at inference; numerics
+            # pinned by tests/test_model.py::test_fused_rublock_matches_reference.
+            out = self._rublock_apply(x)
+        return out
+
+    def _rublock_fusable(self, x, train: bool, pair: bool,
+                         in_features: int) -> bool:
+        from vs_seg_tpu.ops import pallas_rublock
+
+        if (train or pair or self.subunits != 2 or self.last_conv_only
+                or _triple(self.strides) != (1, 1, 1)
+                or _triple(self.kernel_size) != (3, 3, 3)
+                or self.act != "prelu" or self.norm != "batch"
+                or in_features == self.features
+                or self.is_initializing()
+                or not pallas_rublock.fusion_enabled()):
+            return False
+        return pallas_rublock.can_ru_block(x.shape, in_features,
+                                           self.features)
+
+    def _rublock_apply(self, x):
+        from vs_seg_tpu.ops import pallas_rublock
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+
+        def folded(unit):
+            up = p[unit]
+            ub = bs[unit]["norm"]
+            inv = up["norm"]["scale"] * jax.lax.rsqrt(ub["var"] + 1e-5)
+            shift = (up["norm"]["bias"] - ub["mean"] * inv
+                     + up["conv"]["bias"] * inv)
+            return up["conv"]["kernel"], inv, shift, up["act"]["alpha"]
+
+        w0, s0, h0, a0 = folded("unit0")
+        w1, s1, h1, a1 = folded("unit1")
+        return pallas_rublock.ru_block(
+            x, w0=w0, bn0_scale=s0, bn0_shift=h0, alpha0=a0,
+            w1=w1, bn1_scale=s1, bn1_shift=h1, alpha1=a1,
+            wr=p["residual"]["kernel"], br=p["residual"]["bias"],
+            interpret=pallas_rublock.FORCE_INTERPRET)
 
 
 class AttentionBlock1(nn.Module):
