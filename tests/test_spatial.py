@@ -79,3 +79,36 @@ def test_spatial_predictor_in_sliding_window(rng):
         sw_batch_size=1, predictor_layout="dfirst")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kh,sh", [(3, 2), (5, 2), (3, 3), (2, 2), (4, 2),
+                                   (7, 4)])
+def test_spatial_transpose_conv_matches_dense(rng, kh, sh):
+    """H-sharded transpose convs of ANY (kernel, stride) with MONAI's
+    output_padding arithmetic must equal the dense transpose conv — the
+    general halo/repad derivation in nn/layers.py:conv3d, not just the
+    flagship (kh=3, stride 2) pattern."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vs_seg_tpu.nn.layers import ConvTranspose3d, spatial_sharding
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    hl = 4
+    x = jnp.asarray(rng.normal(size=(1, 3, hl * n, 8, 4)), jnp.float32)
+    tc = ConvTranspose3d(6, (kh, 3, 3), (sh, 2, 1), dtype=jnp.float32)
+    variables = tc.init(jax.random.key(0), x)
+    ref = tc.apply(variables, x)
+
+    def local(xs):
+        with spatial_sharding("data", n):
+            return tc.apply(variables, xs)
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=P(None, None, "data"),
+                        out_specs=P(None, None, "data"))
+    out = jax.jit(sharded)(x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -159,9 +159,9 @@ def add_reference_cli_flags(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--spatial_inference", action="store_true",
                         help="shard each window's H spatially across the mesh "
                              "with conv halo exchange (TPU extra; for "
-                             "windows-per-volume < chips; supports the "
-                             "flagship upsample arithmetic (kernel 3, stride "
-                             "2) — other model configs fail loudly)")
+                             "windows-per-volume < chips; any kernel/stride "
+                             "with MONAI transpose arithmetic; UNet2d5-family "
+                             "topologies)")
     parser.add_argument("--device_cache", action="store_true",
                         help="cache the training set in HBM and run random "
                              "crop/flip on device (TPU extra; zero per-step "

@@ -114,12 +114,24 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
             halo = (int(ph[0]), max(kh - int(ph[0]) - sh, 0))
             ph = (0, 0)
         else:
-            # transpose conv in H: only the reference pattern occurs
-            assert kh == 3 and ld[0] == 2 and tuple(ph) == (1, 2), (
-                "spatial sharding supports the reference upsample arithmetic "
-                f"only (kh=3, stride 2); got kh={kh} ld={ld[0]} ph={ph}")
-            halo = (0, 1)
-            ph = (1, 0)
+            # transpose conv in H (lhs-dilated): with MONAI's output_padding
+            # (output = input*stride, convolutions.py:114-135) the padding is
+            # lo = kh-1-p, hi = s+p-1. Per shard: output block [a, a+hl*s)
+            # (a = shard_idx*hl*s) reads global dilated positions
+            # [a-lo, a+hl*s-1+p]; real (non-dilation-zero) rows at multiples
+            # of s give halos (lo//s, ceil(p/s)), and local re-padding
+            # (lo%s, p-1+s*(1-ceil(p/s))) realigns the dilated block so
+            # local output row o is exactly global row a+o. Exact vs dense:
+            # tests/test_spatial.py::test_spatial_transpose_conv_matches_dense.
+            s_h = int(ld[0])
+            lo = int(ph[0])
+            p_h = kh - 1 - lo
+            assert p_h >= 0 and int(ph[1]) == s_h + p_h - 1, (
+                "spatial sharding supports MONAI transpose-conv arithmetic "
+                f"only (output = input*stride); got kh={kh} ld={s_h} ph={ph}")
+            halo_r = -(-p_h // s_h)
+            halo = (lo // s_h, halo_r)
+            ph = (lo % s_h, p_h - 1 + s_h * (1 - halo_r))
         x = exchange_halo(x, halo, axis_name, spatial_axis=2,
                           n_shards=n_shards)
     if kd == 1 and sd == 1 and ld[2] == 1 and tuple(pd) == (0, 0):
