@@ -336,3 +336,32 @@ def test_fused_rublock_matches_reference():
     for a, r in zip(atts, atts_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_fused_blocks_compose():
+    """Both mega-kernels enabled at once (encoder rublock + decoder
+    l2block) must still reproduce the unfused forward."""
+    from vs_seg_tpu.ops import pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, _ = model.apply(variables, x, train=False)
+    pallas_l2block.FORCE_INTERPRET = True
+    pallas_rublock.FORCE_INTERPRET = True
+    try:
+        logits, _ = model.apply(variables, x, train=False)
+    finally:
+        pallas_l2block.FORCE_INTERPRET = False
+        pallas_rublock.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
