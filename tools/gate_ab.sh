@@ -1,0 +1,21 @@
+#!/bin/bash
+# Window-scale A/B of the mega-kernel gates on the real TPU.
+# Runs the composed 2-window forward (tools/fwd_probe.py, two-length
+# differenced chains) for each gate combination; the honest decision rule
+# is: a gate defaults ON only if its composed forward is faster.
+# Usage: tools/gate_ab.sh  (takes ~10-15 min on a warm relay; first run
+# pays remote compiles of each variant, minutes each)
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+run() { # label l2 ru
+  echo "=== $1 (VS_L2BLOCK=$2 VS_RUBLOCK=$3) ==="
+  VS_L2BLOCK=$2 VS_RUBLOCK=$3 timeout 2400 python tools/fwd_probe.py "$1" \
+    2>&1 | grep -v Warning
+}
+
+run baseline 0 0
+run l2block 1 0
+run rublock 0 1
+run both 1 1
