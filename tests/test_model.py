@@ -365,3 +365,37 @@ def test_fused_blocks_compose():
 
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_block2d_matches_reference():
+    """The kd=1 fused block dispatches (ops/pallas_block2d.py) must
+    reproduce the unfused XLA path at eval: the (3,3,1) level-0 encoder
+    block (1->8ch, cp16) and the decoder logit head (8+8 halves -> 2)
+    both fuse at W=64; interior levels are (3,3,3) and stay unfused here."""
+    from vs_seg_tpu.ops import pallas_block2d
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 4, 64, 64, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    assert not pallas_block2d.ru_fusion_enabled()
+    pallas_block2d.FORCE_INTERPRET = True
+    try:
+        assert pallas_block2d.ru_fusion_enabled()
+        logits, atts = model.apply(variables, x, train=False)
+    finally:
+        pallas_block2d.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)

@@ -119,51 +119,72 @@ class UNet2d5_spvPA(nn.Module):
                               last_conv_only=(i == 0), name=f"up_{i}", **common)(x, train)
             if self._l2block_fusable(pair_in, i, outc, train,
                                      ResidualUnit_ is ResidualUnit):
-                # Fused decoder-block Pallas path (ops/pallas_l2block.py):
+                # Fused decoder-block Pallas path (ops/pallas_l2block.py
+                # for (3,3,3) levels, ops/pallas_block2d.py for (3,3,1)):
                 # the whole att-conv1 -> conv2+sigmoid -> gate -> unit0 ->
                 # residual chain in one kernel.  The traced XLA chain above
                 # stays for parameter creation / the att map and falls to
                 # DCE at inference; numerics pinned by
                 # tests/test_model.py::test_fused_l2block_matches_reference.
-                x = self._l2block_apply(pair_in, i)
+                x = self._l2block_apply(pair_in, i, outc)
 
         return x, tuple(att_maps)
 
     def _l2block_fusable(self, pair_in, i: int, outc: int, train: bool,
                          own_blocks: bool) -> bool:
         from vs_seg_tpu.nn.layers import _triple
-        from vs_seg_tpu.ops import pallas_l2block
+        from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
 
-        if (train or i == 0 or not self.attention_module or not own_blocks
+        kern = _triple(self.kernel_sizes[i])
+        if (train or not self.attention_module or not own_blocks
                 or self.is_initializing()
-                or _triple(self.kernel_sizes[i]) != (3, 3, 3)
-                or not pallas_l2block.fusion_enabled()):
+                or kern not in ((3, 3, 3), (3, 3, 1))):
             return False
         xa, xb = pair_in
         c = int(xa.shape[-1])
-        return (int(xb.shape[-1]) == c and outc == c
-                and tuple(xb.shape) == tuple(xa.shape)
-                and pallas_l2block.can_l2_block(xa.shape, c))
+        if int(xb.shape[-1]) != c or tuple(xb.shape) != tuple(xa.shape):
+            return False
+        if kern == (3, 3, 3):
+            return (i != 0 and outc == c
+                    and pallas_l2block.fusion_enabled()
+                    and pallas_l2block.can_l2_block(xa.shape, c))
+        cp = pallas_block2d.pick_cp(c, outc)
+        return (pallas_block2d.l2_fusion_enabled()
+                and pallas_block2d.can_block2d(xa.shape, cp, 2))
 
-    def _l2block_apply(self, pair_in, i: int):
+    def _l2block_apply(self, pair_in, i: int, outc: int):
         import jax
 
-        from vs_seg_tpu.ops import pallas_l2block
+        from vs_seg_tpu.nn.layers import _triple
+        from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
 
         p = self.variables["params"]
         att_p = p[f"upatt_{i}"]
         ru_p = p[f"up_{i}"]
-        bn = self.variables["batch_stats"][f"up_{i}"]["unit0"]["norm"]
-        inv = ru_p["unit0"]["norm"]["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
-        shift = (ru_p["unit0"]["norm"]["bias"] - bn["mean"] * inv
-                 + ru_p["unit0"]["conv"]["bias"] * inv)
-        return pallas_l2block.l2_block(
-            pair_in[0], pair_in[1],
+        if i == 0:
+            # conv-only logit head: degenerate epilogue (scale 1, shift =
+            # bias, identity activation)
+            inv, shift, alpha = None, ru_p["unit0"]["conv"]["bias"], None
+        else:
+            bn = self.variables["batch_stats"][f"up_{i}"]["unit0"]["norm"]
+            inv = (ru_p["unit0"]["norm"]["scale"]
+                   * jax.lax.rsqrt(bn["var"] + 1e-5))
+            shift = (ru_p["unit0"]["norm"]["bias"] - bn["mean"] * inv
+                     + ru_p["unit0"]["conv"]["bias"] * inv)
+            alpha = ru_p["unit0"]["act"]["alpha"]
+        kw = dict(
             w1=att_p["conv1"]["conv"]["kernel"],
             b1=att_p["conv1"]["conv"]["bias"],
             w2=att_p["conv2"]["conv"]["kernel"],
             b2=att_p["conv2"]["conv"]["bias"],
             w0=ru_p["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
-            alpha=ru_p["unit0"]["act"]["alpha"],
-            wr=ru_p["residual"]["kernel"], br=ru_p["residual"]["bias"],
-            interpret=pallas_l2block.FORCE_INTERPRET)
+            alpha=alpha,
+            wr=ru_p["residual"]["kernel"], br=ru_p["residual"]["bias"])
+        if _triple(self.kernel_sizes[i]) == (3, 3, 3):
+            return pallas_l2block.l2_block(
+                pair_in[0], pair_in[1],
+                interpret=pallas_l2block.FORCE_INTERPRET, **kw)
+        c = int(pair_in[0].shape[-1])
+        return pallas_block2d.l2_block2d(
+            pair_in[0], pair_in[1], cp=pallas_block2d.pick_cp(c, outc),
+            interpret=pallas_block2d.FORCE_INTERPRET, **kw)

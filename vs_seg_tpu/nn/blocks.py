@@ -156,31 +156,37 @@ class ResidualUnit(nn.Module):
             res = x
         out = cx + res
         if self._rublock_fusable(x, train, pair, in_features):
-            # Fused encoder-block Pallas path (ops/pallas_rublock.py):
-            # conv0+BN/PReLU -> conv1+BN/PReLU -> 1x1 residual in one
-            # depth-pipelined kernel.  The traced XLA chain above stays for
-            # parameter creation and falls to DCE at inference; numerics
-            # pinned by tests/test_model.py::test_fused_rublock_matches_reference.
-            out = self._rublock_apply(x)
+            # Fused encoder-block Pallas path (ops/pallas_rublock.py for
+            # (3,3,3), ops/pallas_block2d.py for (3,3,1)): conv0+BN/PReLU
+            # -> conv1+BN/PReLU -> 1x1 residual in one kernel.  The traced
+            # XLA chain above stays for parameter creation and falls to
+            # DCE at inference; numerics pinned by
+            # tests/test_model.py::test_fused_rublock_matches_reference.
+            out = self._rublock_apply(x, in_features)
         return out
 
     def _rublock_fusable(self, x, train: bool, pair: bool,
                          in_features: int) -> bool:
-        from vs_seg_tpu.ops import pallas_rublock
+        from vs_seg_tpu.ops import pallas_block2d, pallas_rublock
 
+        kern = _triple(self.kernel_size)
         if (train or pair or self.subunits != 2 or self.last_conv_only
                 or _triple(self.strides) != (1, 1, 1)
-                or _triple(self.kernel_size) != (3, 3, 3)
+                or kern not in ((3, 3, 3), (3, 3, 1))
                 or self.act != "prelu" or self.norm != "batch"
                 or in_features == self.features
-                or self.is_initializing()
-                or not pallas_rublock.fusion_enabled()):
+                or self.is_initializing()):
             return False
-        return pallas_rublock.can_ru_block(x.shape, in_features,
-                                           self.features)
+        if kern == (3, 3, 3):
+            return (pallas_rublock.fusion_enabled()
+                    and pallas_rublock.can_ru_block(x.shape, in_features,
+                                                    self.features))
+        cp = pallas_block2d.pick_cp(in_features, self.features)
+        return (pallas_block2d.ru_fusion_enabled()
+                and pallas_block2d.can_block2d(x.shape, cp, 1))
 
-    def _rublock_apply(self, x):
-        from vs_seg_tpu.ops import pallas_rublock
+    def _rublock_apply(self, x, in_features: int):
+        from vs_seg_tpu.ops import pallas_block2d, pallas_rublock
 
         p = self.variables["params"]
         bs = self.variables["batch_stats"]
@@ -195,11 +201,15 @@ class ResidualUnit(nn.Module):
 
         w0, s0, h0, a0 = folded("unit0")
         w1, s1, h1, a1 = folded("unit1")
-        return pallas_rublock.ru_block(
-            x, w0=w0, bn0_scale=s0, bn0_shift=h0, alpha0=a0,
-            w1=w1, bn1_scale=s1, bn1_shift=h1, alpha1=a1,
-            wr=p["residual"]["kernel"], br=p["residual"]["bias"],
-            interpret=pallas_rublock.FORCE_INTERPRET)
+        kw = dict(w0=w0, bn0_scale=s0, bn0_shift=h0, alpha0=a0,
+                  w1=w1, bn1_scale=s1, bn1_shift=h1, alpha1=a1,
+                  wr=p["residual"]["kernel"], br=p["residual"]["bias"])
+        if _triple(self.kernel_size) == (3, 3, 3):
+            return pallas_rublock.ru_block(
+                x, interpret=pallas_rublock.FORCE_INTERPRET, **kw)
+        return pallas_block2d.ru_block2d(
+            x, cp=pallas_block2d.pick_cp(in_features, self.features),
+            interpret=pallas_block2d.FORCE_INTERPRET, **kw)
 
 
 class AttentionBlock1(nn.Module):
