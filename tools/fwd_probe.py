@@ -64,11 +64,11 @@ def main():
         print(f"  chain {n}: best {best*1e3:.1f} ms")
         sys.stdout.flush()
     dt = (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
-    print(f"{label}: conv333={os.environ.get('VS_CONV333', '0')} "
-          f"att={os.environ.get('VS_ATT_FUSE', '0')} "
-          f"l2block={os.environ.get('VS_L2BLOCK', '0')} "
-          f"rublock={os.environ.get('VS_RUBLOCK', '0')} "
-          f"forward {dt*1e3:.1f} ms / 2-window batch")
+    gates = " ".join(f"{k.lower().replace('vs_', '')}="
+                     f"{os.environ.get(k, '0')}"
+                     for k in ("VS_CONV333", "VS_ATT_FUSE", "VS_L2BLOCK",
+                               "VS_RUBLOCK", "VS_L2BLOCK2D", "VS_RUBLOCK2D"))
+    print(f"{label}: {gates} forward {dt*1e3:.1f} ms / 2-window batch")
 
 
 if __name__ == "__main__":

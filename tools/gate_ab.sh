@@ -9,13 +9,15 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-run() { # label l2 ru
-  echo "=== $1 (VS_L2BLOCK=$2 VS_RUBLOCK=$3) ==="
-  VS_L2BLOCK=$2 VS_RUBLOCK=$3 timeout 2400 python tools/fwd_probe.py "$1" \
-    2>&1 | grep -v Warning
+run() { # label l2 ru l2_2d ru_2d
+  echo "=== $1 (VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5) ==="
+  VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5 \
+    timeout 2400 python tools/fwd_probe.py "$1" 2>&1 | grep -v Warning
 }
 
-run baseline 0 0
-run l2block 1 0
-run rublock 0 1
-run both 1 1
+run baseline 0 0 0 0
+run l2block 1 0 0 0
+run rublock 0 1 0 0
+run l2block2d 0 0 1 0
+run rublock2d 0 0 0 1
+run all 1 1 1 1

@@ -164,11 +164,85 @@ def chain_timed_single(fn, x):
     return (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
 
 
+def run_2d():
+    """kd=1 kernels on real Mosaic: numerics at flagship-like L0/L1 shapes
+    (reduced D), then chain timing at L1."""
+    from vs_seg_tpu.ops.pallas_block2d import l2_block2d, pick_cp, ru_block2d
+
+    rng = np.random.default_rng(0)
+    # encoder L1: 16->32 at 192x192
+    B, D, H, W, Cin, Cout = 1, 4, 192, 192, 16, 32
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, Cin)), jnp.bfloat16)
+    ru = ResidualUnit(features=Cout, kernel_size=(3, 3, 1), subunits=2,
+                      dropout=None, dtype=jnp.bfloat16)
+    rv = ru.init({"params": jax.random.key(0)}, x, train=False)
+    rv = jax.tree.map(lambda t: t + 0.1 if t.ndim == 1 else t, rv)
+    fa = ru_fused_args(rv)
+    ref = jax.jit(lambda a: ru.apply(rv, a, train=False))(x)
+    out = ru_block2d(x, cp=pick_cp(Cin, Cout), **fa)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    print(f"ru2d enc-L1 (1,4,192,192) 16->32: max abs err {err:.3e} "
+          f"(ref absmax {float(jnp.max(jnp.abs(ref))):.2f})")
+    sys.stdout.flush()
+    dt_x = chain_timed_single(lambda a: ru.apply(rv, a, train=False), x)
+    dt_p = chain_timed_single(
+        lambda a: ru_block2d(a, cp=pick_cp(Cin, Cout), **fa), x)
+    print(f"ru2d enc-L1 timing: xla {dt_x*1e3:7.2f} ms  "
+          f"fused {dt_p*1e3:7.2f} ms  ({dt_x/dt_p:.2f}x)")
+    sys.stdout.flush()
+
+    # decoder L1: halves 32 at 192x192
+    C = 32
+    xa = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.bfloat16)
+    xb = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.bfloat16)
+    att = AttentionBlock1((3, 3, 1), dtype=jnp.bfloat16)
+    ru1 = ResidualUnit(features=C, kernel_size=(3, 3, 1), subunits=1,
+                       dropout=None, dtype=jnp.bfloat16)
+    av = att.init({"params": jax.random.key(0)}, (xa, xb), train=False,
+                  gate=False)
+    r1v = ru1.init({"params": jax.random.key(1)}, (xa, xb), train=False)
+    av = jax.tree.map(lambda t: t + 0.1 if t.ndim == 1 else t, av)
+    r1v = jax.tree.map(lambda t: t + 0.1 if t.ndim == 1 else t, r1v)
+
+    def xla_dec(a, b):
+        m, _ = att.apply(av, (a, b), train=False, gate=False)
+        ga, gb = attention_gate(m, (a, b))
+        return ru1.apply(r1v, (ga, gb), train=False)
+
+    p = av["params"]
+    rp = r1v["params"]
+    bs = r1v["batch_stats"]["unit0"]["norm"]
+    inv = rp["unit0"]["norm"]["scale"] * jax.lax.rsqrt(bs["var"] + 1e-5)
+    shift = (rp["unit0"]["norm"]["bias"] - bs["mean"] * inv
+             + rp["unit0"]["conv"]["bias"] * inv)
+    fd = dict(w1=p["conv1"]["conv"]["kernel"], b1=p["conv1"]["conv"]["bias"],
+              w2=p["conv2"]["conv"]["kernel"], b2=p["conv2"]["conv"]["bias"],
+              w0=rp["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
+              alpha=rp["unit0"]["act"]["alpha"],
+              wr=rp["residual"]["kernel"], br=rp["residual"]["bias"])
+    ref = jax.jit(xla_dec)(xa, xb)
+    out = l2_block2d(xa, xb, cp=pick_cp(C, C), **fd)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    print(f"l2_2d dec-L1 (1,4,192,192) C32: max abs err {err:.3e} "
+          f"(ref absmax {float(jnp.max(jnp.abs(ref))):.2f})")
+    sys.stdout.flush()
+    dt_x = chain_timed(xla_dec, xa, xb)
+    dt_p = chain_timed(lambda a, b: l2_block2d(a, b, cp=pick_cp(C, C), **fd),
+                       xa, xb)
+    print(f"l2_2d dec-L1 timing: xla {dt_x*1e3:7.2f} ms  "
+          f"fused {dt_p*1e3:7.2f} ms  ({dt_x/dt_p:.2f}x)")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"devices: {jax.devices()}")
     if which == "ru":
         run_ru()
+        return
+    if which == "2d":
+        run_2d()
         return
     rng = np.random.default_rng(0)
     C = 48
