@@ -399,3 +399,33 @@ def test_fused_block2d_matches_reference():
     for a, r in zip(atts, atts_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_fused_blocks_no_attention_model():
+    """All mega-kernel gates on with attention OFF: the decoder fusions
+    must stay out (they require the attention block) while the encoder
+    rublock/block2d paths still reproduce the unfused forward."""
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=False, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 4, 64, 64, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, _ = model.apply(variables, x, train=False)
+    for m in (pallas_block2d, pallas_l2block, pallas_rublock):
+        m.FORCE_INTERPRET = True
+    try:
+        logits, _ = model.apply(variables, x, train=False)
+    finally:
+        for m in (pallas_block2d, pallas_l2block, pallas_rublock):
+            m.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
