@@ -17,6 +17,7 @@ fallback to the XLA scatter would otherwise masquerade as relay noise.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -145,6 +146,9 @@ def main():
         "tflops": round(tflops, 2),
         "mfu": round(tflops * 1e12 / V5E_PEAK_BF16, 4) if platform == "tpu" else None,
         "pallas_blend": sw.LAST_USED_PALLAS,
+        "fusion_gates": {k.lower().replace("vs_", ""): os.environ.get(k, "0")
+                         for k in ("VS_CONV333", "VS_L2BLOCK", "VS_RUBLOCK",
+                                   "VS_L2BLOCK2D", "VS_RUBLOCK2D")},
     }))
 
 
