@@ -166,6 +166,7 @@ def _l2_2d_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
 
 def _flat_pad(x, cp: int):
     B, D, H, W, C = x.shape
+    assert (W * cp) % 128 == 0 and C <= cp, (W, cp, C)
     nb = (W * cp) // 128
     xp = x if C == cp else jnp.pad(x, ((0, 0),) * 4 + ((0, cp - C),))
     return (jnp.pad(xp.reshape(B * D * H * nb, 128),
