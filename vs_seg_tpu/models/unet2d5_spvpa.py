@@ -166,11 +166,10 @@ class UNet2d5_spvPA(nn.Module):
             # bias, identity activation)
             inv, shift, alpha = None, ru_p["unit0"]["conv"]["bias"], None
         else:
-            bn = self.variables["batch_stats"][f"up_{i}"]["unit0"]["norm"]
-            inv = (ru_p["unit0"]["norm"]["scale"]
-                   * jax.lax.rsqrt(bn["var"] + 1e-5))
-            shift = (ru_p["unit0"]["norm"]["bias"] - bn["mean"] * inv
-                     + ru_p["unit0"]["conv"]["bias"] * inv)
+            from vs_seg_tpu.nn.blocks import folded_conv_affine
+            inv, shift = folded_conv_affine(
+                ru_p["unit0"],
+                self.variables["batch_stats"][f"up_{i}"]["unit0"])
             alpha = ru_p["unit0"]["act"]["alpha"]
         kw = dict(
             w1=att_p["conv1"]["conv"]["kernel"],

@@ -25,6 +25,17 @@ from vs_seg_tpu.nn.layers import (
 )
 
 
+def folded_conv_affine(unit_params, unit_stats):
+    """Eval BatchNorm folded into a post-conv affine INCLUDING the conv
+    bias: y = conv(x) * scale + shift.  Shared by the fused block
+    dispatches (here and models/unet2d5_spvpa.py)."""
+    ub = unit_stats["norm"]
+    inv = unit_params["norm"]["scale"] * jax.lax.rsqrt(ub["var"] + 1e-5)
+    shift = (unit_params["norm"]["bias"] - ub["mean"] * inv
+             + unit_params["conv"]["bias"] * inv)
+    return inv, shift
+
+
 class Convolution(nn.Module):
     """Conv -> BatchNorm -> Dropout -> Activation, or conv_only."""
 
@@ -192,12 +203,9 @@ class ResidualUnit(nn.Module):
         bs = self.variables["batch_stats"]
 
         def folded(unit):
-            up = p[unit]
-            ub = bs[unit]["norm"]
-            inv = up["norm"]["scale"] * jax.lax.rsqrt(ub["var"] + 1e-5)
-            shift = (up["norm"]["bias"] - ub["mean"] * inv
-                     + up["conv"]["bias"] * inv)
-            return up["conv"]["kernel"], inv, shift, up["act"]["alpha"]
+            inv, shift = folded_conv_affine(p[unit], bs[unit])
+            return p[unit]["conv"]["kernel"], inv, shift, \
+                p[unit]["act"]["alpha"]
 
         w0, s0, h0, a0 = folded("unit0")
         w1, s1, h1, a1 = folded("unit1")
