@@ -24,6 +24,8 @@ def _reference(xa, xb, att_vars, ru_vars):
     (1, 4, 16, 16, 48),   # flagship-like channels
     (1, 3, 16, 16, 33),   # odd channel count, odd depth
     (2, 5, 16, 16, 64),   # full cp, multi-batch
+    (1, 1, 16, 16, 48),   # single depth plane (pipeline flush edge)
+    (3, 2, 32, 16, 24),   # multi-H-tile x multi-batch
 ])
 def test_l2block_matches_composed_blocks(dims):
     B, D, H, W, C = dims
