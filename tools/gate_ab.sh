@@ -15,9 +15,11 @@ run() { # label l2 ru l2_2d ru_2d
     timeout 2400 python tools/fwd_probe.py "$1" 2>&1 | grep -v Warning
 }
 
+# decisive pair first (each variant costs a full remote compile: minutes);
+# per-gate isolation only matters if "all" loses somewhere
 run baseline 0 0 0 0
+run all 1 1 1 1
 run l2block 1 0 0 0
 run rublock 0 1 0 0
 run l2block2d 0 0 1 0
 run rublock2d 0 0 0 1
-run all 1 1 1 1
