@@ -422,3 +422,53 @@ def test_rasterize_axis_aligned_unchanged(rng):
     k_counts = [int(seg[:, :, k].sum()) for k in range(8)]
     assert k_counts[5] > 20 and sum(k_counts) == k_counts[5]
     assert seg[8, 8, 5] == 1 and seg[8, 12, 5] == 0
+
+
+def test_preprocessing_cli_convert_no_registration(tmp_path, rng):
+    """`python -m vs_seg_tpu.preprocessing convert` produces the reference
+    output layout (data_conversion.py:486-526, no-registration branch)."""
+    from vs_seg_tpu.preprocessing.__main__ import main
+
+    cases = tmp_path / "cases"
+    _make_case_pair(cases, rng, case=7)
+    out = tmp_path / "out"
+    assert main(["convert", "-i", str(cases), "-o", str(out)]) == 0
+    case_out = out / "vs_gk_7"
+    for f in ("vs_gk_t1_refT1.nii.gz", "vs_gk_t2_refT2.nii.gz",
+              "vs_gk_seg_refT1.nii.gz", "vs_gk_seg_refT2.nii.gz"):
+        assert (case_out / f).exists(), f
+
+
+def test_preprocessing_cli_convert_registered(tmp_path, rng):
+    """--register T2: T1 resampled onto the T2 grid via the case's
+    inv_T1_LPS_to_T2_LPS.tfm; the T2 contours rasterized on the T2 grid
+    (data_conversion.py:445-526). With the fixture's identity transform
+    and identical grids, the resampled T1 equals the native T1."""
+    from vs_seg_tpu.data import nifti
+    from vs_seg_tpu.preprocessing.__main__ import main
+    from vs_seg_tpu.preprocessing.convert import load_series
+
+    cases = tmp_path / "cases"
+    _make_case_pair(cases, rng, case=3)
+    out = tmp_path / "out"
+    assert main(["convert", "-i", str(cases), "-o", str(out),
+                 "--register", "T2"]) == 0
+    case_out = out / "vs_gk_3"
+    names = sorted(p.name for p in case_out.iterdir())
+    assert names == ["vs_gk_seg_refT2.nii.gz", "vs_gk_t1_refT2.nii.gz",
+                     "vs_gk_t2_refT2.nii.gz"]
+    moved = nifti.load(str(case_out / "vs_gk_t1_refT2.nii.gz"))
+    native, _ = load_series(sorted(
+        str(p) for p in (cases / "vs_gk_3_t1").glob("IMG*.dcm")))
+    np.testing.assert_allclose(np.asarray(moved.data).squeeze(),
+                               native.squeeze(), atol=1e-3)
+
+
+def test_preprocessing_cli_bids_and_restructure_smoke(tmp_path, rng):
+    from vs_seg_tpu.preprocessing.__main__ import main
+
+    cases = tmp_path / "cases"
+    _make_case_pair(cases, rng, case=2)
+    out = tmp_path / "bids"
+    assert main(["bids", "-i", str(cases), "-o", str(out)]) == 0
+    assert (out / "dataset_description.json").exists()
