@@ -472,3 +472,21 @@ def test_preprocessing_cli_bids_and_restructure_smoke(tmp_path, rng):
     out = tmp_path / "bids"
     assert main(["bids", "-i", str(cases), "-o", str(out)]) == 0
     assert (out / "dataset_description.json").exists()
+
+
+def test_preprocessing_cli_restructure(tmp_path, rng):
+    """`python -m vs_seg_tpu.preprocessing restructure` end to end on a
+    full RT bundle download."""
+    from vs_seg_tpu.preprocessing.__main__ import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_full_rt_case(raw, rng, case=4)
+    out = tmp_path / "cases"
+    assert main(["restructure", "-i", str(raw), "-o", str(out)]) == 0
+    for tag in ("t1", "t2"):
+        d = out / f"vs_gk_4_{tag}"
+        names = sorted(p.name for p in d.iterdir())
+        assert "RTSS.dcm" in names and "RTPLAN.dcm" in names
+        assert "RTDOSE.dcm" in names
+        assert any(n.startswith("IMG") for n in names)
