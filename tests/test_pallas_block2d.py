@@ -85,3 +85,27 @@ def test_l2_block2d_matches_composed(rng, shape, c, cout, head, dtype):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=tol, rtol=tol)
+
+
+def test_flagship_geometry_dispatch_coverage():
+    """Pin which flagship sites each kernel family covers — a refactor of
+    the geometry predicates must not silently shrink fused coverage
+    (trace-time audit values from the round-3 build)."""
+    from vs_seg_tpu.ops.pallas_block2d import can_block2d, pick_cp
+    from vs_seg_tpu.ops.pallas_l2block import can_l2_block
+    from vs_seg_tpu.ops.pallas_rublock import can_ru_block
+
+    # kd=1 sites (window 384x384x64, D in dim 1)
+    assert pick_cp(1, 16) == 16
+    assert can_block2d((1, 64, 384, 384), 16, 1)      # encoder stem
+    assert can_block2d((1, 64, 192, 192), pick_cp(16, 32), 1)  # enc L1
+    assert can_block2d((1, 64, 192, 192), pick_cp(32, 32), 2)  # dec L1
+    assert can_block2d((1, 64, 384, 384), pick_cp(16, 2), 2)   # logit head
+    # kd=3 sites
+    assert can_ru_block((1, 64, 96, 96), 32, 48)      # enc L2
+    assert can_ru_block((1, 32, 48, 48), 48, 64)      # enc L3
+    assert can_l2_block((1, 64, 96, 96), 48)          # dec L2
+    assert can_l2_block((1, 32, 48, 48), 64)          # dec L3
+    # deep levels stay on XLA (too-wide channels / misaligned nb)
+    assert pick_cp(80, 80) == 0
+    assert not can_ru_block((1, 16, 24, 24), 64, 80)
