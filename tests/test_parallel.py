@@ -146,3 +146,42 @@ def test_sharded_program_cache_releases_dropped_predictors(rng):
     del toy
     gc.collect()
     assert len(sharded._PROGRAMS) == before
+
+
+def test_sharded_inference_composes_with_fused_blocks(rng):
+    """Window-sharded inference (shard_map + psum) with the mega-kernel
+    gates on must equal the unsharded, unfused engine — Pallas calls inside
+    shard_map are a real compositional risk worth pinning."""
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+    from vs_seg_tpu.models import UNet2d5_spvPA
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x0 = jnp.zeros((1, 8, 32, 32, 1))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    predictor = make_predictor(model, params, stats, dtype=jnp.float32)
+
+    volume = rng.normal(size=(40, 36, 10, 1)).astype(np.float32)
+    roi = (32, 32, 8)
+    ref = sliding_window_inference(volume, roi, predictor, sw_batch_size=1,
+                                   predictor_layout="dfirst")
+    mesh = make_mesh()
+    mods = (pallas_block2d, pallas_l2block, pallas_rublock)
+    for m in mods:
+        m.FORCE_INTERPRET = True
+    try:
+        out = sliding_window_inference_sharded(
+            volume, roi, predictor, mesh, sw_batch_size=1,
+            predictor_layout="dfirst")
+    finally:
+        for m in mods:
+            m.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

@@ -104,10 +104,14 @@ def _build_sharded_program(predictor, mesh, axis, roi, local_batches,
         w_acc = jax.lax.psum(w_acc, axis)
         return out_acc / w_acc
 
+    # check_vma=False: the static varying-across-mesh check rejects
+    # pallas_call outputs (no vma annotation on their ShapeDtypeStructs),
+    # which the fused block kernels use inside the predictor; correctness
+    # is pinned by test_parallel.py exactness vs the unsharded engine.
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
-        out_specs=P()))
+        out_specs=P(), check_vma=False))
 
 
 def sliding_window_inference_sharded(
