@@ -112,3 +112,25 @@ def test_spatial_transpose_conv_matches_dense(rng, kh, sh):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fusion_gates_disabled_under_spatial_context():
+    """The fused block kernels assume zero-padded H (no halo exchange);
+    they must stay off inside the spatial-sharding context even when
+    force-enabled — pin the check ordering."""
+    from vs_seg_tpu.nn.layers import spatial_sharding
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+
+    mods = (pallas_block2d, pallas_l2block, pallas_rublock)
+    for m in mods:
+        m.FORCE_INTERPRET = True
+    try:
+        with spatial_sharding("data", 8):
+            assert not pallas_l2block.fusion_enabled()
+            assert not pallas_rublock.fusion_enabled()
+            assert not pallas_block2d.ru_fusion_enabled()
+            assert not pallas_block2d.l2_fusion_enabled()
+        assert pallas_l2block.fusion_enabled()  # restored outside
+    finally:
+        for m in mods:
+            m.FORCE_INTERPRET = False
