@@ -185,3 +185,44 @@ def test_sharded_inference_composes_with_fused_blocks(rng):
             m.FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_window_loop_composes_with_fused_blocks(rng):
+    """The production single-dispatch window loop (jit + fori_loop) with
+    the mega-kernel gates on must equal the same loop unfused — pins
+    pallas_call inside lax loop carries."""
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer.sliding_window import sliding_window_inference
+    from vs_seg_tpu.models import UNet2d5_spvPA
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x0 = jnp.zeros((1, 8, 32, 32, 1))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    predictor = make_predictor(model, variables["params"],
+                               variables.get("batch_stats", {}),
+                               dtype=jnp.float32)
+
+    volume = rng.normal(size=(40, 36, 10, 1)).astype(np.float32)
+    roi = (32, 32, 8)
+    ref = sliding_window_inference(volume, roi, predictor, sw_batch_size=1,
+                                   predictor_layout="dfirst")
+    mods = (pallas_block2d, pallas_l2block, pallas_rublock)
+    for m in mods:
+        m.FORCE_INTERPRET = True
+    try:
+        from vs_seg_tpu.infer import sliding_window as sw
+        sw._fused_window_loop.clear_cache()
+        out = sliding_window_inference(volume, roi, predictor,
+                                       sw_batch_size=1,
+                                       predictor_layout="dfirst")
+    finally:
+        for m in mods:
+            m.FORCE_INTERPRET = False
+        sw._fused_window_loop.clear_cache()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
