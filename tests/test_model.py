@@ -429,3 +429,32 @@ def test_fused_blocks_no_attention_model():
 
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_blocks_never_dispatch_in_training():
+    """Training mode must be bit-identical with all fusion gates forced:
+    the fused kernels are eval-only (folded BN) and the dispatch guards
+    must keep them out of the train path."""
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(1, 4, 64, 64, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+
+    (ref, _), _ = model.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+    mods = (pallas_block2d, pallas_l2block, pallas_rublock)
+    for m in mods:
+        m.FORCE_INTERPRET = True
+    try:
+        (out, _), _ = model.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    finally:
+        for m in mods:
+            m.FORCE_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
