@@ -146,7 +146,10 @@ def main():
         "tflops": round(tflops, 2),
         "mfu": round(tflops * 1e12 / V5E_PEAK_BF16, 4) if platform == "tpu" else None,
         "pallas_blend": sw.LAST_USED_PALLAS,
-        "fusion_gates": {k.lower().replace("vs_", ""): os.environ.get(k, "0")
+        # effective gate state (VS_L2BLOCK+VS_RUBLOCK default ON: r3 A/B win)
+        "fusion_gates": {k.lower().replace("vs_", ""):
+                         os.environ.get(k, "1" if k in ("VS_L2BLOCK",
+                                                        "VS_RUBLOCK") else "0")
                          for k in ("VS_CONV333", "VS_L2BLOCK", "VS_RUBLOCK",
                                    "VS_L2BLOCK2D", "VS_RUBLOCK2D")},
     }))

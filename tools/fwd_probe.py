@@ -64,8 +64,9 @@ def main():
         print(f"  chain {n}: best {best*1e3:.1f} ms")
         sys.stdout.flush()
     dt = (bests[1] - bests[0]) / (CHAIN_HI - CHAIN_LO)
+    on_by_default = ("VS_L2BLOCK", "VS_RUBLOCK")
     gates = " ".join(f"{k.lower().replace('vs_', '')}="
-                     f"{os.environ.get(k, '0')}"
+                     f"{os.environ.get(k, '1' if k in on_by_default else '0')}"
                      for k in ("VS_CONV333", "VS_ATT_FUSE", "VS_L2BLOCK",
                                "VS_RUBLOCK", "VS_L2BLOCK2D", "VS_RUBLOCK2D"))
     print(f"{label}: {gates} forward {dt*1e3:.1f} ms / 2-window batch")

@@ -16,10 +16,14 @@ run() { # label l2 ru l2_2d ru_2d
 }
 
 # decisive pair first (each variant costs a full remote compile: minutes);
-# per-gate isolation only matters if "all" loses somewhere
+# per-gate isolation only matters if "all" loses somewhere.  NOTE: gates
+# interact — rublock loses alone but wins combined with l2block (adjacent
+# fused blocks share the custom-call layout boundary); always measure the
+# promising combinations, not just isolations.
 run baseline 0 0 0 0
 run all 1 1 1 1
 run l2block 1 0 0 0
 run rublock 0 1 0 0
+run l2b_rub 1 1 0 0   # the r3 winner: 80.1 -> 68.4 ms (default ON)
 run l2block2d 0 0 1 0
 run rublock2d 0 0 0 1

@@ -383,5 +383,8 @@ def fusion_enabled() -> bool:
         return False
     if FORCE_INTERPRET:
         return True
-    return (os.environ.get("VS_L2BLOCK", "0") == "1"
+    # Default ON: the only mega-kernel that wins the composed-forward A/B
+    # (tools/gate_ab.sh, two paired runs: 80.1/80.0 -> 77.7/78.3 ms per
+    # 2-window batch on v5e).  VS_L2BLOCK=0 restores the XLA path.
+    return (os.environ.get("VS_L2BLOCK", "1") == "1"
             and jax.default_backend() == "tpu")

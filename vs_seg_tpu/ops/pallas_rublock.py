@@ -241,5 +241,9 @@ def fusion_enabled() -> bool:
         return False
     if FORCE_INTERPRET:
         return True
-    return (os.environ.get("VS_RUBLOCK", "0") == "1"
+    # Default ON: rublock alone loses the composed A/B (84.2 vs 80.1 ms)
+    # but COMBINED with the default-on l2block it wins big — 68.4/68.5 ms
+    # vs 80.0/80.1 baseline across paired runs (adjacent fused blocks share
+    # the custom-call layout-barrier cost).  VS_RUBLOCK=0 restores XLA.
+    return (os.environ.get("VS_RUBLOCK", "1") == "1"
             and jax.default_backend() == "tpu")
