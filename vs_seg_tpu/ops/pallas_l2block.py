@@ -356,7 +356,13 @@ def _l2_vmem_est(ht: int, nb: int) -> int:
     return bufs * 128 * 2 + mats * 2 + accs + temps
 
 
-def pick_ht_l2(H: int, nb: int, budget: int = 12 << 20) -> int:
+def pick_ht_l2(H: int, nb: int, budget: Optional[int] = None) -> int:
+    # 14 MB default (hard Mosaic limit 16): at the flagship L2 site this
+    # picks ht=16 over ht=8 — measured 68.4 -> 65.4 ms composed 2-window
+    # forward (less H-halo recompute + half the x-slab DMA overfetch).
+    if budget is None:
+        import os
+        budget = int(os.environ.get("VS_L2_BUDGET_MB", "14")) << 20
     for ht in (32, 24, 16, 8):
         if H % ht == 0 and _l2_vmem_est(ht, nb) <= budget:
             return ht

@@ -214,7 +214,13 @@ def _ru_vmem_est(ht: int, nb: int) -> int:
     return bufs * 128 * 2 + mats * 2 + accs + temps
 
 
-def pick_ht_ru(H: int, nb: int, budget: int = 12 << 20) -> int:
+def pick_ht_ru(H: int, nb: int, budget=None) -> int:
+    # 14 MB default to match pick_ht_l2 (measured neutral for rublock —
+    # 65.2 vs 65.4 ms composed — but keeps one budget story; 16 is the
+    # hard Mosaic scoped-VMEM limit).
+    if budget is None:
+        import os
+        budget = int(os.environ.get("VS_RU_BUDGET_MB", "14")) << 20
     for ht in (32, 24, 16, 8):
         if H % ht == 0 and _ru_vmem_est(ht, nb) <= budget:
             return ht
