@@ -131,6 +131,12 @@ def main():
 
     vps = 1.0 / dt
     tflops = flops_per_volume * vps / 1e12
+    # Device-side utilization: the same FLOPs over the measured device compute
+    # leg alone.  The pipeline numbers above include the H2D staging cadence,
+    # which on this relay-tunneled environment is bounded by a ~45 MB/s debug
+    # tunnel (a real TPU host moves the same 16 MB in <2 ms); device_mfu is
+    # the number that transfers to production hardware.
+    device_tflops = flops_per_volume / compute_dt / 1e12
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec",
         "value": round(vps, 4),
@@ -145,6 +151,9 @@ def main():
         "window_tflops": round(window_flops / 1e12, 4),
         "tflops": round(tflops, 2),
         "mfu": round(tflops * 1e12 / V5E_PEAK_BF16, 4) if platform == "tpu" else None,
+        "device_tflops": round(device_tflops, 2),
+        "device_mfu": round(device_tflops * 1e12 / V5E_PEAK_BF16, 4)
+        if platform == "tpu" else None,
         "pallas_blend": sw.LAST_USED_PALLAS,
         # effective gate state (VS_L2BLOCK+VS_RUBLOCK default ON: r3 A/B win)
         "fusion_gates": {k.lower().replace("vs_", ""):

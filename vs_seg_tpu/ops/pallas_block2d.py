@@ -293,7 +293,10 @@ def _vmem_est_2d(ht: int, nb: int, n_inputs: int) -> int:
     return slabs + inter + mats + accs + temps
 
 
-def pick_ht_2d(H: int, nb: int, n_inputs: int, budget: int = 12 << 20) -> int:
+def pick_ht_2d(H: int, nb: int, n_inputs: int, budget=None) -> int:
+    if budget is None:
+        import os
+        budget = int(os.environ.get("VS_2D_BUDGET_MB", "12")) << 20
     for ht in (64, 48, 32, 24, 16, 8):
         if H % ht == 0 and _vmem_est_2d(ht, nb, n_inputs) <= budget:
             return ht
