@@ -160,7 +160,8 @@ def main():
                          os.environ.get(k, "1" if k in ("VS_L2BLOCK",
                                                         "VS_RUBLOCK") else "0")
                          for k in ("VS_CONV333", "VS_L2BLOCK", "VS_RUBLOCK",
-                                   "VS_L2BLOCK2D", "VS_RUBLOCK2D")},
+                                   "VS_L2BLOCK2D", "VS_RUBLOCK2D",
+                                   "VS_DSCONV")},
     }))
 
 

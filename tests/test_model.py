@@ -435,7 +435,9 @@ def test_fused_blocks_never_dispatch_in_training():
     """Training mode must be bit-identical with all fusion gates forced:
     the fused kernels are eval-only (folded BN) and the dispatch guards
     must keep them out of the train path."""
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops import (
+        pallas_block2d, pallas_dsconv, pallas_l2block, pallas_rublock,
+    )
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -448,7 +450,7 @@ def test_fused_blocks_never_dispatch_in_training():
 
     (ref, _), _ = model.apply(variables, x, train=True,
                               mutable=["batch_stats"])
-    mods = (pallas_block2d, pallas_l2block, pallas_rublock)
+    mods = (pallas_block2d, pallas_dsconv, pallas_l2block, pallas_rublock)
     for m in mods:
         m.FORCE_INTERPRET = True
     try:
@@ -458,3 +460,42 @@ def test_fused_blocks_never_dispatch_in_training():
         for m in mods:
             m.FORCE_INTERPRET = False
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_dsconv_matches_reference():
+    """The strided downsample kernel dispatch (nn/blocks.py:Convolution,
+    stride (2,2,2)) must reproduce the unfused XLA path at eval, composed
+    with the other default-on mega-kernels (its raison d'etre is sitting
+    BETWEEN two fused blocks).  The level-1 downsample of this config
+    fuses (16ch, 32x32 -> 16x16); level-0 is (2,2,1)-strided and falls
+    back."""
+    from vs_seg_tpu.ops import pallas_dsconv, pallas_l2block, pallas_rublock
+
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(1, 8, 32, 64, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    assert not pallas_dsconv.fusion_enabled()
+    mods = (pallas_dsconv, pallas_l2block, pallas_rublock)
+    for m in mods:
+        m.FORCE_INTERPRET = True
+    try:
+        assert pallas_dsconv.fusion_enabled()
+        logits, atts = model.apply(variables, x, train=False)
+    finally:
+        for m in mods:
+            m.FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)

@@ -68,7 +68,8 @@ def main():
     gates = " ".join(f"{k.lower().replace('vs_', '')}="
                      f"{os.environ.get(k, '1' if k in on_by_default else '0')}"
                      for k in ("VS_CONV333", "VS_ATT_FUSE", "VS_L2BLOCK",
-                               "VS_RUBLOCK", "VS_L2BLOCK2D", "VS_RUBLOCK2D"))
+                               "VS_RUBLOCK", "VS_L2BLOCK2D", "VS_RUBLOCK2D",
+                               "VS_DSCONV"))
     print(f"{label}: {gates} forward {dt*1e3:.1f} ms / 2-window batch")
 
 

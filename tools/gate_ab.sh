@@ -9,9 +9,9 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-run() { # label l2 ru l2_2d ru_2d
-  echo "=== $1 (VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5) ==="
-  VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5 \
+run() { # label l2 ru l2_2d ru_2d [ds]
+  echo "=== $1 (VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5 VS_DSCONV=${6:-0}) ==="
+  VS_L2BLOCK=$2 VS_RUBLOCK=$3 VS_L2BLOCK2D=$4 VS_RUBLOCK2D=$5 VS_DSCONV=${6:-0} \
     timeout 2400 python tools/fwd_probe.py "$1" 2>&1 | grep -v Warning
 }
 
@@ -25,5 +25,6 @@ run all 1 1 1 1
 run l2block 1 0 0 0
 run rublock 0 1 0 0
 run l2b_rub 1 1 0 0   # the r3 winner: 80.1 -> 68.4 ms (default ON)
+run l2b_rub_ds 1 1 0 0 1   # + strided downsample kernel (pallas_dsconv)
 run l2block2d 0 0 1 0
 run rublock2d 0 0 0 1

@@ -81,6 +81,23 @@ def smoke_l2(kernel_size, fn, fn_kwargs, shape, c, tol):
     return err_of(out, ref), float(jnp.max(jnp.abs(ref)))
 
 
+def smoke_ds(tol):
+    from vs_seg_tpu.nn.layers import conv3d
+    from vs_seg_tpu.ops.pallas_dsconv import ds_conv
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 32, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 24)) / np.sqrt(27 * 16),
+                    jnp.bfloat16)
+    sh = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+    al = jnp.asarray(rng.uniform(0.1, 0.4, size=(24,)), jnp.float32)
+    y = conv3d(x, w, None, (2, 2, 2), [(1, 1)] * 3,
+               dtype=jnp.bfloat16).astype(jnp.float32) + sh
+    ref = jnp.where(y >= 0, y, al * y).astype(jnp.bfloat16)
+    out = ds_conv(x, w, None, sh, al)
+    return err_of(out, ref), float(jnp.max(jnp.abs(ref)))
+
+
 def main():
     from vs_seg_tpu.ops.pallas_block2d import l2_block2d, ru_block2d
     from vs_seg_tpu.ops.pallas_l2block import l2_block
@@ -89,6 +106,7 @@ def main():
     print(f"devices: {jax.devices()}")
     tol = 8e-2
     checks = [
+        ("dsconv (3,3,3)s2", lambda: smoke_ds(tol)),
         ("rublock (3,3,3)", lambda: smoke_ru(
             (3, 3, 3), ru_block, {}, (1, 2, 8, 16), 8, 16, tol)),
         ("block2d ru (3,3,1)", lambda: smoke_ru(

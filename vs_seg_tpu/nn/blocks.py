@@ -90,7 +90,8 @@ class Convolution(nn.Module):
         # above stays traced for parameter creation and falls to DCE;
         # numerics pinned by tests/test_pallas_conv333.py and
         # tests/test_model.py.
-        if self._conv333_fusable(x, train):
+        fuse333 = self._conv333_fusable(x, train)
+        if fuse333 or self._dsconv_fusable(x, train):
             p = self.variables["params"]["conv"]
             w, b = p["kernel"], p["bias"]
             if affine is not None:
@@ -103,9 +104,16 @@ class Convolution(nn.Module):
                 alpha = jnp.zeros((1,), jnp.float32)
             else:
                 alpha = None
-            return pallas_conv333.conv333(
+            if fuse333:
+                return pallas_conv333.conv333(
+                    x, w, scale, shift, alpha,
+                    interpret=pallas_conv333.force_interpret())
+            # Strided downsample sites between two fused blocks
+            # (ops/pallas_dsconv.py, e.g. flagship downsample_2)
+            from vs_seg_tpu.ops import pallas_dsconv
+            return pallas_dsconv.ds_conv(
                 x, w, scale, shift, alpha,
-                interpret=pallas_conv333.force_interpret())
+                interpret=pallas_dsconv.force_interpret())
         return y
 
     def _conv333_fusable(self, x, train: bool) -> bool:
@@ -122,6 +130,19 @@ class Convolution(nn.Module):
         cin = sum(int(v.shape[-1]) for v in xs)
         return pallas_conv333.can_conv333(
             [v.shape for v in xs], (3, 3, 3, cin, self.features))
+
+    def _dsconv_fusable(self, x, train: bool) -> bool:
+        from vs_seg_tpu.ops import pallas_dsconv
+
+        if (train or self.is_transposed or isinstance(x, (tuple, list))
+                or _triple(self.kernel_size) != (3, 3, 3)
+                or _triple(self.strides) != (2, 2, 2)
+                or self.act not in ("prelu", "relu", None)
+                or self.is_initializing()
+                or not pallas_dsconv.fusion_enabled()):
+            return False
+        return pallas_dsconv.can_ds_conv(
+            x.shape, (3, 3, 3, int(x.shape[-1]), self.features))
 
 
 class ResidualUnit(nn.Module):
