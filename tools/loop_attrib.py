@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Attribute the ACTUAL bench program: the fused sliding-window loop
+(`infer/sliding_window.py:_fused_window_loop`) at bench.py's exact shapes
+(448x448x80 volume, ROI 384x384x64, overlap 0.25, sw_batch 8, uint8-staged,
+gates as per env).
+
+VERDICT r3 weak #1: the composed 2-window forward costs ~32.7 ms/window but
+the bench loop runs 45.15 ms/window — ~12.5 ms/window of gather + blend +
+dequant + fori_loop overhead that was never attributed (trace_attrib was only
+ever pointed at the bare forward).  This tool points it at the real thing.
+
+Usage:
+  python tools/loop_attrib.py hlo      # dump optimized HLO -> /tmp/loop_hlo.txt
+  python tools/loop_attrib.py trace    # run once under jax.profiler -> runs/trace_loop
+  python tools/loop_attrib.py attrib   # join trace + HLO (tools/trace_attrib.py)
+  python tools/loop_attrib.py time     # best-of-5 wall time of the loop alone
+  python tools/loop_attrib.py all
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VOLUME_SHAPE = (448, 448, 80)
+ROI = (384, 384, 64)
+SW_BATCH = 8
+HLO_OUT = "/tmp/loop_hlo.txt"
+TRACE_DIR = "runs/trace_loop"
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def build():
+    from vs_seg_tpu.infer.engine import make_predictor
+    from vs_seg_tpu.infer import sliding_window as sw
+    from vs_seg_tpu.models.unet2d5_spvpa import UNet2d5_spvPA
+    from vs_seg_tpu.train.trainer import init_model
+
+    model = UNet2d5_spvPA(dtype=jnp.bfloat16)
+    variables = init_model(model, 0)
+    predictor = make_predictor(model, variables["params"],
+                               variables.get("batch_stats", {}),
+                               dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(*VOLUME_SHAPE, 1)).astype(np.float32)
+    staged = sw.stage_volume(vol, ROI, overlap=0.25, sw_batch_size=SW_BATCH,
+                             quantize=True, predictor_layout="dfirst")
+
+    vol_dev = staged.vol_dev
+    if staged.dequant is not None:
+        scale, offset = staged.dequant
+        vol_dev = sw._dequantize(vol_dev, jnp.asarray(scale),
+                                 jnp.asarray(offset))
+    imp_dev = sw._importance_map_device(staged.roi_size, "gaussian", 0.125)
+    oc = sw._predictor_out_channels(
+        predictor, (SW_BATCH, *staged.roi_size, vol_dev.shape[-1]),
+        vol_dev.dtype)
+    use_pallas = (jax.devices()[0].platform == "tpu"
+                  and bool(np.all(staged.starts_padded[:, 1] % 8 == 0))
+                  and staged.roi_size[1] % 8 == 0
+                  and staged.roi_size[2] % 128 == 0
+                  and (vol_dev.shape[2] * oc) % 128 == 0)
+    args = (vol_dev, jax.device_put(staged.starts_padded),
+            jax.device_put(staged.mask), imp_dev)
+    kw = dict(predictor=predictor, sw_batch_size=SW_BATCH,
+              use_pallas=use_pallas, roi_size=staged.roi_size,
+              out_channels=oc)
+    return sw._fused_window_loop, args, kw
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    loop, args, kw = build()
+
+    if which in ("hlo", "all"):
+        compiled = loop.lower(*args, **kw).compile()
+        txt = compiled.as_text()
+        with open(HLO_OUT, "w") as f:
+            f.write(txt)
+        print(f"wrote {len(txt)/1e6:.1f} MB to {HLO_OUT}")
+        sys.stdout.flush()
+
+    if which in ("time", "trace", "attrib", "all"):
+        sync(loop(*args, **kw))  # compile/warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sync(loop(*args, **kw))
+            best = min(best, time.perf_counter() - t0)
+        n_win = args[1].shape[0]
+        print(f"fused loop ({n_win} windows): best {best*1e3:.1f} ms "
+              f"= {best*1e3/n_win:.2f} ms/window")
+        sys.stdout.flush()
+
+    if which in ("trace", "attrib", "all"):
+        os.makedirs(TRACE_DIR, exist_ok=True)
+        with jax.profiler.trace(TRACE_DIR):
+            sync(loop(*args, **kw))
+        print(f"trace written to {TRACE_DIR}")
+        sys.stdout.flush()
+
+    if which in ("attrib", "all"):
+        sys.path.insert(0, os.path.dirname(__file__))
+        import trace_attrib
+        durs = trace_attrib.load_trace(TRACE_DIR)
+        meta = trace_attrib.load_hlo_meta(HLO_OUT)
+        from collections import defaultdict
+        agg = defaultdict(lambda: [0.0, 0])
+        for name, ms in durs.items():
+            op, em = meta.get(name, (None, ""))
+            if op is None:
+                key = f"<unattributed> {name.split('.')[0]}"
+            else:
+                import re
+                site = re.sub(r"^jit\(_fused_window_loop\)/", "", op)
+                parts = site.split("/")
+                site = "/".join(parts[:-1]) if len(parts) > 1 else site
+                key = f"{site} [{em}]" if em else site
+            agg[key][0] += ms
+            agg[key][1] += 1
+        total = sum(v[0] for v in agg.values())
+        for k, (ms, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:60]:
+            print(f"{ms:8.2f} ms {n:4d}  {k[:100]}")
+        print(f"{total:8.2f} ms TOTAL")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,32 +106,78 @@ def unet2d5_spvpa_mapping(n_levels: int, attention: bool
     return triples
 
 
+class _TrackingDict(dict):
+    """Records every key read so the importer can verify FULL consumption of
+    a checkpoint (the strict missing/unexpected-keys contract torch's
+    load_state_dict(strict=True) gives the reference at VSparams.py:547-550)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.used = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        hit = super().__contains__(key)
+        if hit:
+            self.used.add(key)
+        return hit
+
+
 def import_unet2d5_spvpa(state_dict: Dict[str, "object"],
                          channels=(16, 32, 48, 64, 80, 96),
                          num_res_units: int = 2,
-                         attention: bool = True):
-    """torch state_dict -> ({'params': ...}, {'batch_stats': ...}) numpy pytrees."""
-    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
+                         attention: bool = True,
+                         strict: bool = True):
+    """torch state_dict -> ({'params': ...}, {'batch_stats': ...}) numpy pytrees.
+
+    strict=True (default) enforces the same contract as the reference's
+    model.load_state_dict (params/VSparams.py:547-550): every checkpoint key
+    must be consumed exactly (no unexpected keys) and every expected key must
+    exist (a KeyError names the first missing one). torch's
+    `num_batches_tracked` counters are metadata our BN semantics don't use
+    and are excluded from the unexpected-keys check."""
+    sd = _TrackingDict({k: np.asarray(getattr(v, "numpy", lambda: v)())
+                        for k, v in state_dict.items()})
     params, stats = {}, {}
     for torch_prefix, kind, flax_name in unet2d5_spvpa_mapping(
             len(channels) - 1, attention):
-        if kind == "convolution":
-            p, s = _convolution(sd, torch_prefix)
-        elif kind == "convolution_t":
-            p, s = _convolution(sd, torch_prefix, transposed=True)
-        elif kind == "resunitN":
-            p, s = _resunit(sd, torch_prefix, num_res_units)
-        elif kind == "resunit1":
-            p, s = _resunit(sd, torch_prefix, 1)
-        elif kind == "resunit1_top":
-            p, s = _resunit(sd, torch_prefix, 1, last_conv_only=True)
-        elif kind == "attention1":
-            p, s = _attention1(sd, torch_prefix)
-        else:
-            raise ValueError(kind)
+        try:
+            if kind == "convolution":
+                p, s = _convolution(sd, torch_prefix)
+            elif kind == "convolution_t":
+                p, s = _convolution(sd, torch_prefix, transposed=True)
+            elif kind == "resunitN":
+                p, s = _resunit(sd, torch_prefix, num_res_units)
+            elif kind == "resunit1":
+                p, s = _resunit(sd, torch_prefix, 1)
+            elif kind == "resunit1_top":
+                p, s = _resunit(sd, torch_prefix, 1, last_conv_only=True)
+            elif kind == "attention1":
+                p, s = _attention1(sd, torch_prefix)
+            else:
+                raise ValueError(kind)
+        except KeyError as e:
+            raise KeyError(
+                f"checkpoint is missing key {e.args[0]!r} (expected for "
+                f"{kind} block {flax_name!r} at torch prefix "
+                f"{torch_prefix!r}) — wrong architecture flags "
+                f"(channels={channels}, num_res_units={num_res_units}, "
+                f"attention={attention})?") from None
         params[flax_name] = p
         if s:
             stats[flax_name] = s
+    if strict:
+        unexpected = sorted(
+            k for k in set(sd) - sd.used
+            if not k.endswith("num_batches_tracked"))
+        if unexpected:
+            raise ValueError(
+                f"checkpoint has {len(unexpected)} unexpected key(s) not "
+                f"mapped to any model parameter: {unexpected[:8]}"
+                f"{' ...' if len(unexpected) > 8 else ''}")
     return params, stats
 
 

@@ -153,7 +153,9 @@ def ds_conv(x, w: jnp.ndarray,
     (B, D//2, H//2, W//2, Cout).  Requires can_ds_conv(x.shape, w.shape)."""
     B, D, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    assert can_ds_conv(x.shape, w.shape), (x.shape, w.shape)
+    assert can_ds_conv(x.shape, w.shape,
+                       itemsize=jnp.dtype(x.dtype).itemsize), (
+        x.shape, w.shape, x.dtype)
     d2, h2, npr = D // 2, H // 2, W // 4
     dtype = x.dtype
 
@@ -200,15 +202,18 @@ def ds_conv(x, w: jnp.ndarray,
     return out.reshape(B, d2, h2, W // 2, 64)[..., :Cout]
 
 
-def _ds_vmem_est(h2: int, npr: int) -> int:
-    slabs = (3 * 2 * h2 * npr + 3 * 2 * (h2 + 1) * npr) * 128 * 2
-    mats = 27 * 128 * 128 * 2
+def _ds_vmem_est(h2: int, npr: int, itemsize: int = 2) -> int:
+    # slab scratch and weight mats live in x.dtype (itemsize bytes/elem);
+    # the accumulator and the live roll/select temporaries are f32.
+    slabs = (3 * 2 * h2 * npr + 3 * 2 * (h2 + 1) * npr) * 128 * itemsize
+    mats = 27 * 128 * 128 * itemsize
     acc = h2 * npr * 128 * 4
     temps = 3 * (h2 + 1) * npr * 128 * 4      # live f32 roll/select views
     return slabs + mats + acc + temps
 
 
-def can_ds_conv(x_shape, w_shape, budget: int = 14 << 20) -> bool:
+def can_ds_conv(x_shape, w_shape, budget: int = 14 << 20,
+                itemsize: int = 2) -> bool:
     if (len(w_shape) != 5 or tuple(w_shape[:3]) != (3, 3, 3)
             or len(x_shape) != 5):
         return False
@@ -217,7 +222,7 @@ def can_ds_conv(x_shape, w_shape, budget: int = 14 << 20) -> bool:
         return False
     if D % 2 or H % 2 or W % 4 or (W // 4) % 8:
         return False
-    return _ds_vmem_est(H // 2, W // 4) <= budget
+    return _ds_vmem_est(H // 2, W // 4, itemsize) <= budget
 
 
 # Tests set this to exercise the fused path on CPU via interpret mode.
