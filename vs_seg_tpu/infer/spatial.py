@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vs_seg_tpu.models.unet2d5_spvpa import l2block_apply, l2block_fusable
 from vs_seg_tpu.nn.blocks import AttentionBlock1, Convolution, ResidualUnit, attention_gate
-from vs_seg_tpu.nn.layers import spatial_sharding
+from vs_seg_tpu.nn.layers import _triple, spatial_sharding
 
 
 def _sub(variables, name):
@@ -113,12 +114,19 @@ def spatial_forward(model, variables, x, *, axis: str, n_shards: int,
         x = (skips[i], x.astype(skips[i].dtype))  # concat held as a pair
         ctx = sharded if sharded_now else _null_ctx()
         with ctx:
-            if m.attention_module:
-                a = att(f"upatt_{i}", m.kernel_sizes[i])(x)
-                x = attention_gate(a, x)
             outc = m.out_channels if i == 0 else m.channels[i]
-            x = res(f"up_{i}", outc, m.kernel_sizes[i], 1,
-                    last_conv_only=(i == 0))(x)
+            kern = _triple(m.kernel_sizes[i])
+            if m.attention_module and l2block_fusable(kern, x, i, outc):
+                # fused decoder block; under the sharded ctx it extends the
+                # local H block with exchanged halo rows and keeps the exact
+                # center (models/unet2d5_spvpa.py:l2block_apply)
+                x = l2block_apply(variables, kern, x, i, outc)
+            else:
+                if m.attention_module:
+                    a = att(f"upatt_{i}", m.kernel_sizes[i])(x)
+                    x = attention_gate(a, x)
+                x = res(f"up_{i}", outc, m.kernel_sizes[i], 1,
+                        last_conv_only=(i == 0))(x)
     return x
 
 
@@ -171,9 +179,12 @@ def make_spatial_predictor(model, params, batch_stats, mesh: Mesh, *,
             return spatial_forward(model, v, xl.astype(dtype), axis=axis,
                                    n_shards=n_shards, gather_level=gather)
 
+        # check_vma=False: the static varying-across-mesh check rejects
+        # pallas_call outputs (the halo-aware fused blocks); exactness is
+        # pinned by tests/test_spatial.py vs the dense model.apply.
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=(P(), P(None, None, axis)),
-                           out_specs=P(None, None, axis))
+                           out_specs=P(None, None, axis), check_vma=False)
         return fn(variables, wins)
 
     return predictor

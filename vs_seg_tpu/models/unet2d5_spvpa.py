@@ -133,57 +133,101 @@ class UNet2d5_spvPA(nn.Module):
     def _l2block_fusable(self, pair_in, i: int, outc: int, train: bool,
                          own_blocks: bool) -> bool:
         from vs_seg_tpu.nn.layers import _triple
-        from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
 
-        kern = _triple(self.kernel_sizes[i])
         if (train or not self.attention_module or not own_blocks
-                or self.is_initializing()
-                or kern not in ((3, 3, 3), (3, 3, 1))):
+                or self.is_initializing()):
             return False
-        xa, xb = pair_in
-        c = int(xa.shape[-1])
-        if int(xb.shape[-1]) != c or tuple(xb.shape) != tuple(xa.shape):
-            return False
-        if kern == (3, 3, 3):
-            return (i != 0 and outc == c
-                    and pallas_l2block.fusion_enabled()
-                    and pallas_l2block.can_l2_block(xa.shape, c))
-        cp = pallas_block2d.pick_cp(c, outc)
-        return (pallas_block2d.l2_fusion_enabled()
-                and pallas_block2d.can_block2d(xa.shape, cp, 2))
+        return l2block_fusable(_triple(self.kernel_sizes[i]), pair_in, i, outc)
 
     def _l2block_apply(self, pair_in, i: int, outc: int):
-        import jax
-
         from vs_seg_tpu.nn.layers import _triple
-        from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
+        return l2block_apply(self.variables, _triple(self.kernel_sizes[i]),
+                             pair_in, i, outc)
 
-        p = self.variables["params"]
-        att_p = p[f"upatt_{i}"]
-        ru_p = p[f"up_{i}"]
-        if i == 0:
-            # conv-only logit head: degenerate epilogue (scale 1, shift =
-            # bias, identity activation)
-            inv, shift, alpha = None, ru_p["unit0"]["conv"]["bias"], None
-        else:
-            from vs_seg_tpu.nn.blocks import folded_conv_affine
-            inv, shift = folded_conv_affine(
-                ru_p["unit0"],
-                self.variables["batch_stats"][f"up_{i}"]["unit0"])
-            alpha = ru_p["unit0"]["act"]["alpha"]
-        kw = dict(
-            w1=att_p["conv1"]["conv"]["kernel"],
-            b1=att_p["conv1"]["conv"]["bias"],
-            w2=att_p["conv2"]["conv"]["kernel"],
-            b2=att_p["conv2"]["conv"]["bias"],
-            w0=ru_p["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
-            alpha=alpha,
-            wr=ru_p["residual"]["kernel"], br=ru_p["residual"]["bias"])
-        if _triple(self.kernel_sizes[i]) == (3, 3, 3):
-            return pallas_l2block.l2_block(
-                pair_in[0], pair_in[1],
-                interpret=pallas_l2block.FORCE_INTERPRET, **kw)
-        c = int(pair_in[0].shape[-1])
-        return pallas_block2d.l2_block2d(
-            pair_in[0], pair_in[1], cp=pallas_block2d.pick_cp(c, outc),
-            interpret=pallas_block2d.FORCE_INTERPRET, **kw)
+
+def l2block_fusable(kern, pair_in, i: int, outc: int) -> bool:
+    """Fused decoder-block shape/gate check — shared by the model __call__
+    and the spatially-sharded forward (infer/spatial.py)."""
+    from vs_seg_tpu.nn import layers
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
+
+    if kern not in ((3, 3, 3), (3, 3, 1)):
+        return False
+    xa, xb = pair_in
+    c = int(xa.shape[-1])
+    if int(xb.shape[-1]) != c or tuple(xb.shape) != tuple(xa.shape):
+        return False
+    if kern == (3, 3, 3):
+        if i == 0 or outc != c or not pallas_l2block.fusion_enabled():
+            return False
+        if layers._SPATIAL is not None and layers._SPATIAL[1] > 1:
+            return _l2_spatial_halo(xa.shape, c) > 0
+        # n_shards == 1: the local block IS the volume — plain dispatch
+        return pallas_l2block.can_l2_block(xa.shape, c)
+    if layers._SPATIAL is not None:
+        return False  # kd=1 2D kernels are not halo-aware (default-off)
+    cp = pallas_block2d.pick_cp(c, outc)
+    return (pallas_block2d.l2_fusion_enabled()
+            and pallas_block2d.can_block2d(xa.shape, cp, 2))
+
+
+def _l2_spatial_halo(local_shape, c: int) -> int:
+    """H halo for the fused decoder block on a LOCAL H shard: the l2block
+    chain is 3 convs deep in H (att conv1 -> conv2 -> unit0, each 3x3x3; the
+    1x1 residual adds no H context). 0 = extended geometry unsupported."""
+    from vs_seg_tpu.ops.halo import spatial_fused_halo
+    from vs_seg_tpu.ops.pallas_l2block import can_l2_block
+    B, D, Hl, W = local_shape[:4]
+    return spatial_fused_halo(
+        Hl, 3, lambda hx: can_l2_block((B, D, hx, W), c))
+
+
+def l2block_apply(variables, kern, pair_in, i: int, outc: int):
+    """Dispatch the fused decoder block (att conv1 -> conv2+sigmoid -> gate
+    -> unit0+BN/PReLU -> 1x1 residual) for level `i`. Under spatial sharding
+    the local H blocks are extended with exchanged halo rows and the exact
+    center is kept (ops/halo.py:spatial_fused_halo)."""
+    from vs_seg_tpu.nn import layers
+    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
+
+    p = variables["params"]
+    att_p = p[f"upatt_{i}"]
+    ru_p = p[f"up_{i}"]
+    if i == 0:
+        # conv-only logit head: degenerate epilogue (scale 1, shift =
+        # bias, identity activation)
+        inv, shift, alpha = None, ru_p["unit0"]["conv"]["bias"], None
+    else:
+        from vs_seg_tpu.nn.blocks import folded_conv_affine
+        inv, shift = folded_conv_affine(
+            ru_p["unit0"], variables["batch_stats"][f"up_{i}"]["unit0"])
+        alpha = ru_p["unit0"]["act"]["alpha"]
+    kw = dict(
+        w1=att_p["conv1"]["conv"]["kernel"],
+        b1=att_p["conv1"]["conv"]["bias"],
+        w2=att_p["conv2"]["conv"]["kernel"],
+        b2=att_p["conv2"]["conv"]["bias"],
+        w0=ru_p["unit0"]["conv"]["kernel"], bn_scale=inv, bn_shift=shift,
+        alpha=alpha,
+        wr=ru_p["residual"]["kernel"], br=ru_p["residual"]["bias"])
+    if kern == (3, 3, 3):
+        if layers._SPATIAL is not None and layers._SPATIAL[1] > 1:
+            import jax
+
+            from vs_seg_tpu.ops.halo import halo_block_input
+            axis_name, n_shards = layers._SPATIAL
+            h = _l2_spatial_halo(pair_in[0].shape, int(pair_in[0].shape[-1]))
+            hl = pair_in[0].shape[2]
+            (xa, start), (xb, _) = (halo_block_input(v, h, axis_name, 2,
+                                                     n_shards)
+                                    for v in pair_in)
+            out = pallas_l2block.l2_block(
+                xa, xb, interpret=pallas_l2block.FORCE_INTERPRET, **kw)
+            return jax.lax.dynamic_slice_in_dim(out, start, hl, axis=2)
+        return pallas_l2block.l2_block(
+            pair_in[0], pair_in[1],
+            interpret=pallas_l2block.FORCE_INTERPRET, **kw)
+    c = int(pair_in[0].shape[-1])
+    return pallas_block2d.l2_block2d(
+        pair_in[0], pair_in[1], cp=pallas_block2d.pick_cp(c, outc),
+        interpret=pallas_block2d.FORCE_INTERPRET, **kw)

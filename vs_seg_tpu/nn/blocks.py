@@ -36,6 +36,17 @@ def folded_conv_affine(unit_params, unit_stats):
     return inv, shift
 
 
+def _ru_spatial_halo(local_shape, cin: int, cout: int) -> int:
+    """H halo for running the fused encoder block on a LOCAL H shard: the
+    rublock chain is 2 convs deep in H (unit0 3x3x3 -> unit1 3x3x3; the 1x1
+    residual adds no H context). 0 = extended geometry unsupported."""
+    from vs_seg_tpu.ops.halo import spatial_fused_halo
+    from vs_seg_tpu.ops.pallas_rublock import can_ru_block
+    B, D, Hl, W = local_shape[:4]
+    return spatial_fused_halo(
+        Hl, 2, lambda hx: can_ru_block((B, D, hx, W), cin, cout))
+
+
 class Convolution(nn.Module):
     """Conv -> BatchNorm -> Dropout -> Activation, or conv_only."""
 
@@ -142,7 +153,8 @@ class Convolution(nn.Module):
                 or not pallas_dsconv.fusion_enabled()):
             return False
         return pallas_dsconv.can_ds_conv(
-            x.shape, (3, 3, 3, int(x.shape[-1]), self.features))
+            x.shape, (3, 3, 3, int(x.shape[-1]), self.features),
+            itemsize=jnp.dtype(x.dtype).itemsize)
 
 
 class ResidualUnit(nn.Module):
@@ -199,6 +211,7 @@ class ResidualUnit(nn.Module):
 
     def _rublock_fusable(self, x, train: bool, pair: bool,
                          in_features: int) -> bool:
+        from vs_seg_tpu.nn import layers
         from vs_seg_tpu.ops import pallas_block2d, pallas_rublock
 
         kern = _triple(self.kernel_size)
@@ -210,9 +223,16 @@ class ResidualUnit(nn.Module):
                 or self.is_initializing()):
             return False
         if kern == (3, 3, 3):
-            return (pallas_rublock.fusion_enabled()
-                    and pallas_rublock.can_ru_block(x.shape, in_features,
-                                                    self.features))
+            if not pallas_rublock.fusion_enabled():
+                return False
+            if layers._SPATIAL is not None and layers._SPATIAL[1] > 1:
+                return _ru_spatial_halo(x.shape, in_features,
+                                        self.features) > 0
+            # n_shards == 1: the local block IS the volume — plain dispatch
+            return pallas_rublock.can_ru_block(x.shape, in_features,
+                                               self.features)
+        if layers._SPATIAL is not None:
+            return False  # kd=1 2D kernels are not halo-aware (default-off)
         cp = pallas_block2d.pick_cp(in_features, self.features)
         return (pallas_block2d.ru_fusion_enabled()
                 and pallas_block2d.can_block2d(x.shape, cp, 1))
@@ -234,6 +254,20 @@ class ResidualUnit(nn.Module):
                   w1=w1, bn1_scale=s1, bn1_shift=h1, alpha1=a1,
                   wr=p["residual"]["kernel"], br=p["residual"]["bias"])
         if _triple(self.kernel_size) == (3, 3, 3):
+            from vs_seg_tpu.nn import layers
+            if layers._SPATIAL is not None and layers._SPATIAL[1] > 1:
+                # Halo-aware spatial dispatch: extend the local H block with
+                # real neighbor rows (boundary shards roll-aligned to the
+                # kernel's own zero padding), run the unchanged kernel, keep
+                # the local rows (ops/halo.py:halo_block_input).
+                from vs_seg_tpu.ops.halo import halo_block_input
+                axis_name, n_shards = layers._SPATIAL
+                h = _ru_spatial_halo(x.shape, in_features, self.features)
+                hl = x.shape[2]
+                x_ext, start = halo_block_input(x, h, axis_name, 2, n_shards)
+                out = pallas_rublock.ru_block(
+                    x_ext, interpret=pallas_rublock.FORCE_INTERPRET, **kw)
+                return jax.lax.dynamic_slice_in_dim(out, start, hl, axis=2)
             return pallas_rublock.ru_block(
                 x, interpret=pallas_rublock.FORCE_INTERPRET, **kw)
         return pallas_block2d.ru_block2d(

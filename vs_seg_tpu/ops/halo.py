@@ -58,6 +58,53 @@ def exchange_halo(x: jnp.ndarray, halo, axis_name: str, spatial_axis: int,
     return jnp.concatenate(parts, axis=spatial_axis)
 
 
+def spatial_fused_halo(local_h: int, chain: int, geom_ok) -> int:
+    """Symmetric H halo making a fused block kernel exact on a LOCAL shard.
+
+    The (3,3,3) mega-kernels (ops/pallas_rublock.py, ops/pallas_l2block.py)
+    zero-pad H internally at every conv of their chain (same-padding
+    semantics). Running one on an H-shard extended with `h` real neighbor
+    rows per side (`halo_block_input`) makes the kept rows exact whenever
+    h >= `chain` (the block's conv-chain depth in H: corruption from the
+    extended-block edges propagates only `chain` rows inward), so the caller
+    slices out the local rows — the kernel itself stays unchanged. Boundary
+    shards are roll-aligned so the kernel's own per-layer zero padding lands
+    exactly on the PHYSICAL volume edge (chained same-pad convs re-zero at
+    every layer there; a zero-extended block would diverge on the outermost
+    rows — measured, not hypothetical).
+
+    Returns the smallest h >= chain for which the extended block local_h+2h
+    satisfies the kernel's geometry (`geom_ok(h_ext)`), capped at local_h
+    (a halo can only be sliced from an adjacent shard); 0 if none fits
+    (caller falls back to the XLA halo-exchange convs).
+    """
+    for h in range(chain, local_h + 1):
+        if geom_ok(local_h + 2 * h):
+            return h
+    return 0
+
+
+def halo_block_input(x: jnp.ndarray, h: int, axis_name: str,
+                     spatial_axis: int, n_shards: int):
+    """Build the extended per-shard block a fused mega-kernel runs on, and
+    the traced row offset of the local rows in its output.
+
+    Interior shards get [lo_halo(h), local, hi_halo(h)] and keep rows
+    [h, h+local). Physical-boundary shards are rolled so the local block
+    abuts the kernel's own H zero padding — shard 0 gets
+    [local, hi_halo, zeros], keeping [0, local); shard n-1 gets
+    [zeros, lo_halo, local], keeping [2h, 2h+local) — which reproduces the
+    per-layer re-zeroing of chained same-pad convs at the volume edge.
+    Returns (x_ext, start); slice the kernel output with
+    jax.lax.dynamic_slice_in_dim(out, start, local, spatial_axis).
+    """
+    x_ext = exchange_halo(x, (h, h), axis_name, spatial_axis, n_shards)
+    idx = jax.lax.axis_index(axis_name)
+    shift = jnp.where(idx == 0, -h, 0) + jnp.where(idx == n_shards - 1, h, 0)
+    x_ext = jnp.roll(x_ext, shift, axis=spatial_axis)
+    return x_ext, h + shift
+
+
 def halo_conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
                 mesh: Mesh, *, axis: str = "data",
                 dtype=jnp.bfloat16) -> jnp.ndarray:

@@ -383,14 +383,13 @@ FORCE_INTERPRET = False
 def fusion_enabled() -> bool:
     import os
 
-    from vs_seg_tpu.nn import layers
-
-    if layers._SPATIAL is not None:
-        return False
     if FORCE_INTERPRET:
         return True
     # Default ON: the only mega-kernel that wins the composed-forward A/B
     # (tools/gate_ab.sh, two paired runs: 80.1/80.0 -> 77.7/78.3 ms per
     # 2-window batch on v5e).  VS_L2BLOCK=0 restores the XLA path.
+    # Allowed under spatial sharding since r4: the dispatcher extends the
+    # local H block with exchanged halo rows and slices the exact center
+    # (ops/halo.py:spatial_fused_halo) — the kernel itself is unchanged.
     return (os.environ.get("VS_L2BLOCK", "1") == "1"
             and jax.default_backend() == "tpu")

@@ -241,15 +241,14 @@ FORCE_INTERPRET = False
 def fusion_enabled() -> bool:
     import os
 
-    from vs_seg_tpu.nn import layers
-
-    if layers._SPATIAL is not None:
-        return False
     if FORCE_INTERPRET:
         return True
     # Default ON: rublock alone loses the composed A/B (84.2 vs 80.1 ms)
     # but COMBINED with the default-on l2block it wins big — 68.4/68.5 ms
     # vs 80.0/80.1 baseline across paired runs (adjacent fused blocks share
     # the custom-call layout-barrier cost).  VS_RUBLOCK=0 restores XLA.
+    # Allowed under spatial sharding since r4: the dispatcher extends the
+    # local H block with exchanged halo rows and slices the exact center
+    # (ops/halo.py:spatial_fused_halo) — the kernel itself is unchanged.
     return (os.environ.get("VS_RUBLOCK", "1") == "1"
             and jax.default_backend() == "tpu")
