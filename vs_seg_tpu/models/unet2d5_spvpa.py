@@ -56,6 +56,14 @@ class UNet2d5_spvPA(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from vs_seg_tpu.nn.layers import pad64_scope, train_conv_scope
+        if train:
+            with train_conv_scope(), pad64_scope():
+                return self._forward(x, train)
+        with pad64_scope():
+            return self._forward(x, train)
+
+    def _forward(self, x, train: bool):
         assert len(self.channels) == len(self.kernel_sizes) \
             == len(self.strides) + 1 == len(self.sample_kernel_sizes) + 1
         if self.num_res_units < 1:
@@ -224,9 +232,16 @@ def l2block_apply(variables, kern, pair_in, i: int, outc: int):
             out = pallas_l2block.l2_block(
                 xa, xb, interpret=pallas_l2block.FORCE_INTERPRET, **kw)
             return jax.lax.dynamic_slice_in_dim(out, start, hl, axis=2)
-        return pallas_l2block.l2_block(
-            pair_in[0], pair_in[1],
-            interpret=pallas_l2block.FORCE_INTERPRET, **kw)
+        from vs_seg_tpu.nn.layers import lookup_pad64, stash_pad64
+        c = int(pair_in[0].shape[-1])
+        xa, xb = (lookup_pad64(v) if lookup_pad64(v) is not None else v
+                  for v in pair_in)
+        out64 = pallas_l2block.l2_block(
+            xa, xb, interpret=pallas_l2block.FORCE_INTERPRET,
+            out_padded=True, **kw)
+        out = out64 if c == 64 else out64[..., :c]
+        stash_pad64(out, out64)
+        return out
     c = int(pair_in[0].shape[-1])
     return pallas_block2d.l2_block2d(
         pair_in[0], pair_in[1], cp=pallas_block2d.pick_cp(c, outc),

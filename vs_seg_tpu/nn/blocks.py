@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from vs_seg_tpu.nn.layers import (
     BatchNorm, Conv3d, ConvTranspose3d, Dropout, PReLU, Shape3, _triple,
+    lookup_pad64, pad64_scope, stash_pad64,
 )
 
 
@@ -122,9 +123,13 @@ class Convolution(nn.Module):
             # Strided downsample sites between two fused blocks
             # (ops/pallas_dsconv.py, e.g. flagship downsample_2)
             from vs_seg_tpu.ops import pallas_dsconv
-            return pallas_dsconv.ds_conv(
-                x, w, scale, shift, alpha,
-                interpret=pallas_dsconv.force_interpret())
+            x_eff = lookup_pad64(x)
+            out64 = pallas_dsconv.ds_conv(
+                x if x_eff is None else x_eff, w, scale, shift, alpha,
+                interpret=pallas_dsconv.force_interpret(), out_padded=True)
+            out = out64 if self.features == 64 else out64[..., :self.features]
+            stash_pad64(out, out64)
+            return out
         return y
 
     def _conv333_fusable(self, x, train: bool) -> bool:
@@ -268,8 +273,15 @@ class ResidualUnit(nn.Module):
                 out = pallas_rublock.ru_block(
                     x_ext, interpret=pallas_rublock.FORCE_INTERPRET, **kw)
                 return jax.lax.dynamic_slice_in_dim(out, start, hl, axis=2)
-            return pallas_rublock.ru_block(
-                x, interpret=pallas_rublock.FORCE_INTERPRET, **kw)
+            x_eff = lookup_pad64(x)
+            out64 = pallas_rublock.ru_block(
+                x if x_eff is None else x_eff,
+                interpret=pallas_rublock.FORCE_INTERPRET, out_padded=True,
+                **kw)
+            out = (out64 if self.features == 64
+                   else out64[..., :self.features])
+            stash_pad64(out, out64)
+            return out
         return pallas_block2d.ru_block2d(
             x, cp=pallas_block2d.pick_cp(in_features, self.features),
             interpret=pallas_block2d.FORCE_INTERPRET, **kw)

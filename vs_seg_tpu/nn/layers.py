@@ -52,6 +52,71 @@ _FLOP_TRACE: Optional[list] = None
 _SPATIAL: Optional[Tuple[str, int]] = None
 
 
+# --- Channel-pad elision between adjacent fused kernels (r4) ---------------
+#
+# The mega-kernels (ops/pallas_rublock.py, ops/pallas_l2block.py,
+# ops/pallas_dsconv.py) work on channels padded to 64 lanes: each one PADS
+# its input (C -> 64, a full-tensor copy) and SLICES its output (64 -> C,
+# another copy). When two fused kernels are adjacent in the flagship
+# (rublock down_2 -> [downsample] -> rublock down_3 -> ... -> l2block), the
+# slice/pad round trip between them is pure HBM traffic (~1.7 ms per copy
+# at the L2 384x384x64-window scale, r4 trace). The stash below lets a
+# fused producer publish its pre-slice padded-64 tensor and an adjacent
+# consumer (fused kernel, or an XLA conv whose weight Cin rows we zero-pad
+# — algebraically exact) pick it up, so XLA DCEs the slice and no pad is
+# ever materialized.
+#
+# Scope rules: active only inside a `pad64_scope()` (opened per model
+# __call__ trace, so entries never outlive their trace); lookups validate
+# object identity, so id() recycling cannot alias; everything degrades to
+# the plain pad/slice path when the scope is absent (e.g. spatial_forward)
+# or the producer wasn't fused.
+
+_PAD64_STACK: list = []
+
+
+class pad64_scope:
+    def __enter__(self):
+        _PAD64_STACK.append({})
+        return self
+
+    def __exit__(self, *exc):
+        _PAD64_STACK.pop()
+        return False
+
+
+def stash_pad64(sliced, padded) -> None:
+    """Publish `padded` (64-lane channels) as the pre-slice form of `sliced`."""
+    if _PAD64_STACK and sliced is not padded:
+        _PAD64_STACK[-1][id(sliced)] = (sliced, padded)
+
+
+def lookup_pad64(t):
+    """The padded-64 sibling of `t`, or None."""
+    if _PAD64_STACK:
+        hit = _PAD64_STACK[-1].get(id(t))
+        if hit is not None and hit[0] is t:
+            return hit[1]
+    return None
+
+
+# Train-mode conv-backward context: opened by the model's train forward so
+# conv3d routes eligible (3,3,3) stride-1 sites through the custom_vjp with
+# the Pallas banded backward (ops/pallas_train.py, VS_TRAINCONV-gated).
+_TRAIN_CONV = False
+
+
+class train_conv_scope:
+    def __enter__(self):
+        global _TRAIN_CONV
+        self._prev, _TRAIN_CONV = _TRAIN_CONV, True
+
+    def __exit__(self, *exc):
+        global _TRAIN_CONV
+        _TRAIN_CONV = self._prev
+        return False
+
+
 class spatial_sharding:
     """Context manager enabling halo-exchange convs (trace-time toggle)."""
 
@@ -84,6 +149,11 @@ def same_padding(kernel_size, dilation=1) -> Shape3:
 def _d2c_enabled() -> bool:
     import os
     return os.environ.get("VS_D2C", "0") == "1"
+
+
+def _dot11_enabled() -> bool:
+    import os
+    return os.environ.get("VS_DOT11", "0") == "1"
 
 
 def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
@@ -134,7 +204,37 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
             ph = (lo % s_h, p_h - 1 + s_h * (1 - halo_r))
         x = exchange_halo(x, halo, axis_name, spatial_axis=2,
                           n_shards=n_shards)
-    if kd == 1 and sd == 1 and ld[2] == 1 and tuple(pd) == (0, 0):
+    if (_TRAIN_CONV and _SPATIAL is None and (kh, kw, kd) == (3, 3, 3)
+            and (sh, sw, sd) == (1, 1, 1) and lhs_dilation is None
+            and tuple(ph) == (1, 1) and tuple(pw) == (1, 1)
+            and tuple(pd) == (1, 1)):
+        # Train-mode backward fusion: same XLA forward, Pallas banded
+        # dx/dw/db (ops/pallas_train.py) — covers the L2/L3 (3,3,3) conv
+        # sites (incl. decoder pair halves via Conv3d's split)
+        from vs_seg_tpu.ops import pallas_train
+        if (pallas_train.fusion_enabled()
+                and pallas_train.can_train_conv(x.shape, w.shape)):
+            y = pallas_train.conv333_train(
+                x, w,
+                jnp.zeros((w.shape[-1],), jnp.float32) if b is None else b,
+                dtype=dtype, interpret=pallas_train.FORCE_INTERPRET)
+            if _FLOP_TRACE is not None:
+                _FLOP_TRACE.append(
+                    2 * int(np.prod(y.shape)) * int(np.prod(w.shape[:4])))
+            return y
+    if ((kh, kw, kd) == (1, 1, 1) and (sh, sw, sd) == (1, 1, 1)
+            and lhs_dilation is None
+            and tuple(ph) == tuple(pw) == tuple(pd) == (0, 0)
+            and _dot11_enabled()):
+        # 1x1x1 stride-1 conv as a direct channel contraction. Default OFF:
+        # the r4 bench-path A/B measured the full window loop 374.4 ms vs
+        # 292.2 with the conv emitter (docs/KERNELS.md r4) — the dot_general
+        # forces a C-contracting layout on its operand that the surrounding
+        # conv-emitter layouts must transpose into, costing far more than
+        # the residual conv's ~6 TF/s inefficiency. VS_DOT11=1 re-enables.
+        y = jax.lax.dot_general(x, w[0, 0, 0], (((4,), (0,)), ((), ())),
+                                precision=precision)
+    elif kd == 1 and sd == 1 and ld[2] == 1 and tuple(pd) == (0, 0):
         y = jax.lax.conv_general_dilated(
             x.reshape(B * D, *x.shape[2:]), w[:, :, 0],
             window_strides=(sh, sw), padding=[ph, pw],
@@ -177,6 +277,19 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     if _FLOP_TRACE is not None:
         _FLOP_TRACE.append(2 * int(np.prod(y.shape)) * int(np.prod(w.shape[:4])))
     return y
+
+
+def _elide_pad(x, w):
+    """Swap `x` for its stashed padded-64 sibling (if a fused producer
+    published one) and zero-pad the weight's Cin rows to match — conv(x64,
+    w0pad) == conv(x, w), and the producer's 64->C slice becomes dead code.
+    Weight padding is trace-time (the tensors are tiny); no-op without a
+    stash hit."""
+    p64 = lookup_pad64(x)
+    if p64 is None:
+        return x, w
+    cin = w.shape[-2]
+    return p64, jnp.pad(w, ((0, 0),) * 3 + ((0, p64.shape[-1] - cin), (0, 0)))
 
 
 class Conv3d(nn.Module):
@@ -224,9 +337,12 @@ class Conv3d(nn.Module):
         pads = [(pi, pi) for pi in p]
         if pair:
             ca = x[0].shape[-1]
-            ya = conv3d(x[0], w[..., :ca, :], None, s, pads, dtype=self.dtype)
-            yb = conv3d(x[1], w[..., ca:, :], b, s, pads, dtype=self.dtype)
+            xa, wa = _elide_pad(x[0], w[..., :ca, :])
+            xb, wb = _elide_pad(x[1], w[..., ca:, :])
+            ya = conv3d(xa, wa, None, s, pads, dtype=self.dtype)
+            yb = conv3d(xb, wb, b, s, pads, dtype=self.dtype)
             return ya + yb
+        x, w = _elide_pad(x, w)
         return conv3d(x, w, b, s, pads, dtype=self.dtype)
 
 
@@ -271,6 +387,7 @@ class ConvTranspose3d(nn.Module):
             w = w * inv
             b = shift if b is None else b * inv + shift
         w_flipped = jnp.flip(w, axis=(0, 1, 2))
+        x, w_flipped = _elide_pad(x, w_flipped)
         return conv3d(x, w_flipped, b, (1, 1, 1), pad, dtype=self.dtype,
                       lhs_dilation=tuple(int(v) for v in s))
 

@@ -347,8 +347,10 @@ def fusion_enabled() -> bool:
     (tools/fwd_probe.py, r3) measured the fused forward 15 ms SLOWER than
     the XLA path (95 vs 80 ms / 2-window batch) despite winning isolated
     chains — the pad/slice channel boundaries around each kernel call cost
-    more than the conv saves.  Keep off until the in-context win is
-    demonstrated."""
+    more than the conv saves.  Re-A/B'd on the bench path in r4 with
+    l2block+rublock on (docs/KERNELS.md r4 gate table): neutral (295.0 vs
+    294.4/297.7 ms full window loop) — the surviving sites (bottom, L4,
+    down_4) are sub-ms on XLA.  Stays OFF."""
     import os
 
     from vs_seg_tpu.nn import layers

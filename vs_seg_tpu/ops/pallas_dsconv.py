@@ -146,14 +146,19 @@ def ds_conv(x, w: jnp.ndarray,
             scale: Optional[jnp.ndarray] = None,
             shift: Optional[jnp.ndarray] = None,
             prelu_alpha: Optional[jnp.ndarray] = None, *,
-            interpret: bool = False) -> jnp.ndarray:
+            interpret: bool = False, out_padded: bool = False) -> jnp.ndarray:
     """(3,3,3) stride-(2,2,2) same-padded conv (+ optional fused affine /
     PReLU epilogue).  x: (B, D, H, W, Cin); w (3, 3, 3, Cin, Cout) in
     reference (kh, kw, kd) order; Cin, Cout <= 64.  Returns
-    (B, D//2, H//2, W//2, Cout).  Requires can_ds_conv(x.shape, w.shape)."""
-    B, D, H, W, Cin = x.shape
-    Cout = w.shape[-1]
-    assert can_ds_conv(x.shape, w.shape,
+    (B, D//2, H//2, W//2, Cout).  Requires can_ds_conv on the LOGICAL
+    shape.  Channel-pad elision (nn/blocks.py pad64 stash): x may arrive
+    already padded to 64 lanes (extra lanes hit zero Toeplitz weights);
+    out_padded=True returns the raw 64-lane result (padded lanes are
+    bias/epilogue-of-zero, exactly zero with the default zero padding)."""
+    B, D, H, W = x.shape[:4]
+    Cin, Cout = w.shape[3], w.shape[-1]
+    assert x.shape[-1] in (Cin, 64), (x.shape, Cin)
+    assert can_ds_conv((B, D, H, W, Cin), w.shape,
                        itemsize=jnp.dtype(x.dtype).itemsize), (
         x.shape, w.shape, x.dtype)
     d2, h2, npr = D // 2, H // 2, W // 4
@@ -170,7 +175,8 @@ def ds_conv(x, w: jnp.ndarray,
                      _pad_c(shift, Cout, 64, 2, 0.0),
                      _pad_c(prelu_alpha, Cout, 64, 2, 1.0)])
 
-    xp = x if Cin == 64 else jnp.pad(x, ((0, 0),) * 4 + ((0, 64 - Cin),))
+    xp = (x if x.shape[-1] == 64
+          else jnp.pad(x, ((0, 0),) * 4 + ((0, 64 - Cin),)))
     # H-parity streams; the (rows, 256) view puts each pair of W blocks
     # side by side in lanes (free reshape), so the even/odd W-block slabs
     # are 128-aligned lane slices
@@ -198,8 +204,8 @@ def ds_conv(x, w: jnp.ndarray,
         ],
         interpret=interpret,
     )
-    out = kernel(he, ho, wa, wb, wc, eps)
-    return out.reshape(B, d2, h2, W // 2, 64)[..., :Cout]
+    out = kernel(he, ho, wa, wb, wc, eps).reshape(B, d2, h2, W // 2, 64)
+    return out if out_padded else out[..., :Cout]
 
 
 def _ds_vmem_est(h2: int, npr: int, itemsize: int = 2) -> int:
@@ -236,9 +242,12 @@ def force_interpret() -> bool:
 def fusion_enabled() -> bool:
     """Dispatch gate for the strided downsample kernel (VS_DSCONV).
     Off under spatial sharding (the kernel zero-pads H instead of
-    exchanging halos).  Default pending the composed-forward A/B —
-    the standing rule: enable only if the composed window-scale forward
-    gets faster (measure in COMBINATION with VS_L2BLOCK/VS_RUBLOCK)."""
+    exchanging halos).  Default OFF: the r4 bench-path A/B
+    (docs/KERNELS.md r4 gate table) measured the full window loop
+    310.5 ms vs 294.4/297.7 baseline with l2block+rublock on — the
+    standalone custom call between the two fused blocks does not inherit
+    their shared-boundary win at volume scale.  Kept as a measured
+    negative with code; VS_DSCONV=1 re-enables for re-evaluation."""
     import os
 
     from vs_seg_tpu.nn import layers

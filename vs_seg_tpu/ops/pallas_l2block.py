@@ -263,15 +263,24 @@ def _pad_vec(v, cout, default):
 
 
 def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
-             br, interpret: bool = False):
+             br, interpret: bool = False, out_padded: bool = False):
     """Fused decoder attention block (eval).  xa, xb: (B, D, H, W, C)
     bf16 pair halves (C <= 64, equal); w1 (3,3,3,2C,C), w2 (3,3,3,C,1),
     w0 (3,3,3,2C,C), wr (1,1,1,2C,C); bn_scale/bn_shift are the folded
     eval BatchNorm affine ALREADY including unit0's conv bias (i.e.
     y = conv0(g)*bn_scale + bn_shift); alpha the PReLU slope; br the
-    residual bias.  Returns (B, D, H, W, C)."""
-    B, D, H, W, C = xa.shape
-    assert xb.shape == xa.shape and C <= 64
+    residual bias.  Returns (B, D, H, W, C).
+
+    Channel-pad elision (nn/blocks.py pad64 stash): either half may arrive
+    already padded to 64 lanes (a fused producer's pre-slice output — the
+    extra lanes hit zero Toeplitz weight columns, so their content never
+    matters); out_padded=True returns the raw 64-lane result (padded lanes
+    exactly zero) for an adjacent consumer."""
+    B, D, H, W = xa.shape[:4]
+    C = w2.shape[3]
+    assert xa.shape[:4] == xb.shape[:4] and C <= 64
+    assert xa.shape[-1] in (C, 64) and xb.shape[-1] in (C, 64), (
+        xa.shape, xb.shape, C)
     nb = (W * 64) // 128
     assert (W * 64) % 128 == 0 and nb % 8 == 0 and H % 8 == 0
     ht = pick_ht_l2(H, nb)
@@ -308,7 +317,8 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
     rows = B * D * H
     xvs = []
     for v in (xa, xb):
-        vp = v if C == 64 else jnp.pad(v, ((0, 0),) * 4 + ((0, 64 - C),))
+        vp = (v if v.shape[-1] == 64
+              else jnp.pad(v, ((0, 0),) * 4 + ((0, 64 - C),)))
         xvs.append(jnp.pad(vp.reshape(rows * nb, 128),
                            ((OF * nb, OF * nb), (0, 0))))
 
@@ -343,8 +353,9 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
         ],
         interpret=interpret,
     )
-    out = kernel(*xvs, w1m, w1e, w2m, w2e, w0m, w0e, wrm, eps)
-    return out.reshape(B, D, H, W, 64)[..., :C]
+    out = kernel(*xvs, w1m, w1e, w2m, w2e, w0m, w0e, wrm, eps
+                 ).reshape(B, D, H, W, 64)
+    return out if out_padded else out[..., :C]
 
 
 def _l2_vmem_est(ht: int, nb: int) -> int:

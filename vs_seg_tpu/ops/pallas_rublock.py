@@ -139,14 +139,22 @@ def _res_mat_single(wr, cin: int, cout: int):
 
 
 def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
-             bn1_shift, alpha1, wr, br, interpret: bool = False):
+             bn1_shift, alpha1, wr, br, interpret: bool = False,
+             out_padded: bool = False):
     """Fused 2-subunit ResidualUnit (eval).  x: (B, D, H, W, Cin) bf16
     (Cin, Cout <= 64); w0 (3,3,3,Cin,Cout), w1 (3,3,3,Cout,Cout), wr
     (1,1,1,Cin,Cout); bn*_scale/bn*_shift are the folded eval BatchNorm
     affines ALREADY including each conv's bias; alpha* the PReLU slopes;
-    br the residual bias.  Returns (B, D, H, W, Cout)."""
-    B, D, H, W, Cin = x.shape
-    Cout = w0.shape[-1]
+    br the residual bias.  Returns (B, D, H, W, Cout).
+
+    Channel-pad elision (nn/blocks.py pad64 stash): x may arrive already
+    padded to 64 lanes (zeros beyond Cin — a fused producer's pre-slice
+    output); out_padded=True returns the raw 64-lane result (padded lanes
+    exactly zero: the Toeplitz weights, BN shift, and residual bias are all
+    zero there) for an adjacent consumer to ingest without re-padding."""
+    B, D, H, W = x.shape[:4]
+    Cin, Cout = w0.shape[3], w0.shape[-1]
+    assert x.shape[-1] in (Cin, 64), (x.shape, Cin)
     assert Cin <= 64 and Cout <= 64
     nb = (W * 64) // 128
     assert (W * 64) % 128 == 0 and nb % 8 == 0 and H % 8 == 0
@@ -173,7 +181,8 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
     ])
 
     rows = B * D * H
-    xp = x if Cin == 64 else jnp.pad(x, ((0, 0),) * 4 + ((0, 64 - Cin),))
+    xp = (x if x.shape[-1] == 64
+          else jnp.pad(x, ((0, 0),) * 4 + ((0, 64 - Cin),)))
     xv = jnp.pad(xp.reshape(rows * nb, 128), ((OF * nb, OF * nb), (0, 0)))
 
     srows = (ht + 2 * OF) * nb
@@ -201,8 +210,8 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
         ],
         interpret=interpret,
     )
-    out = kernel(xv, w0m, w0e, w1m, w1e, wrm, eps)
-    return out.reshape(B, D, H, W, 64)[..., :Cout]
+    out = kernel(xv, w0m, w0e, w1m, w1e, wrm, eps).reshape(B, D, H, W, 64)
+    return out if out_padded else out[..., :Cout]
 
 
 def _ru_vmem_est(ht: int, nb: int) -> int:
