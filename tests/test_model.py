@@ -499,3 +499,33 @@ def test_fused_dsconv_matches_reference():
     for a, r in zip(atts, atts_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_resfold_matches_reference(monkeypatch):
+    """The eval 1x1-residual fold (nn/blocks.py:_resfold_apply, VS_RESFOLD)
+    must reproduce the traced reference chain exactly: the residual is the
+    center tap of a zero-embedded (3,3,1) kernel concatenated onto unit0's
+    conv, so the conv computes identical per-channel f32-accumulated sums.
+    The (3,3,1) level-0/1 blocks of this config fold (incl. the pair-input
+    decoder block); (3,3,3) levels are untouched."""
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    monkeypatch.setenv("VS_RESFOLD", "0")
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    monkeypatch.setenv("VS_RESFOLD", "1")
+    logits, atts = model.apply(variables, x, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-5, rtol=2e-5)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-5, rtol=2e-5)

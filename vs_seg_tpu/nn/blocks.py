@@ -37,6 +37,19 @@ def folded_conv_affine(unit_params, unit_stats):
     return inv, shift
 
 
+def resfold_enabled() -> bool:
+    """Gate for the eval 1x1-residual fold at the kd=1 ResidualUnit sites
+    (VS_RESFOLD). Default OFF: the r4 bench-path A/B (docs/KERNELS.md r4)
+    measured the full window loop 429.9/431.4 ms vs 295.1/287.8 baseline —
+    widening unit0's conv to 2F output channels and slicing flips the
+    surrounding emitters into worse layouts, the same in-context lesson as
+    VS_DOT11 at the same sites. Pure-XLA transform, exactness pinned by
+    tests/test_model.py::test_resfold_matches_reference either way;
+    VS_RESFOLD=1 re-enables for re-evaluation."""
+    import os
+    return os.environ.get("VS_RESFOLD", "0") == "1"
+
+
 def _ru_spatial_halo(local_shape, cin: int, cout: int) -> int:
     """H halo for running the fused encoder block on a LOCAL H shard: the
     rublock chain is 2 convs deep in H (unit0 3x3x3 -> unit1 3x3x3; the 1x1
@@ -204,6 +217,15 @@ class ResidualUnit(nn.Module):
             assert not pair, "identity residual undefined for pair input"
             res = x
         out = cx + res
+        if self._resfold_fusable(x, train, pair, in_features):
+            # 1x1-residual fold (eval, kd=1 levels, VS_RESFOLD=1 only —
+            # measured NEGATIVE, docs/KERNELS.md r4): the residual as
+            # EXTRA OUTPUT CHANNELS of unit0's conv (wr center-embedded in
+            # a zero (3,3,1) kernel); unit1 + the add recomputed from the
+            # folded params so the traced chain above falls to DCE.
+            # Exactness pinned by
+            # tests/test_model.py::test_resfold_matches_reference.
+            return self._resfold_apply(x, in_features)
         if self._rublock_fusable(x, train, pair, in_features):
             # Fused encoder-block Pallas path (ops/pallas_rublock.py for
             # (3,3,3), ops/pallas_block2d.py for (3,3,1)): conv0+BN/PReLU
@@ -213,6 +235,53 @@ class ResidualUnit(nn.Module):
             # tests/test_model.py::test_fused_rublock_matches_reference.
             out = self._rublock_apply(x, in_features)
         return out
+
+    def _resfold_fusable(self, x, train: bool, pair: bool,
+                         in_features: int) -> bool:
+        if (train or self.subunits != 2 or self.last_conv_only
+                or _triple(self.strides) != (1, 1, 1)
+                or _triple(self.kernel_size) != (3, 3, 1)
+                or self.act != "prelu" or self.norm != "batch"
+                or in_features == self.features
+                or self.is_initializing()):
+            return False
+        if self._rublock_fusable(x, train, pair, in_features):
+            return False  # the 2D mega-kernel already fuses the residual
+        return resfold_enabled()
+
+    def _resfold_apply(self, x, in_features: int):
+        from vs_seg_tpu.nn.layers import conv3d, same_padding
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+        inv0, b0 = folded_conv_affine(p["unit0"], bs["unit0"])
+        inv1, b1 = folded_conv_affine(p["unit1"], bs["unit1"])
+        a0 = p["unit0"]["act"]["alpha"]
+        a1 = p["unit1"]["act"]["alpha"]
+        w0 = p["unit0"]["conv"]["kernel"] * inv0
+        w1 = p["unit1"]["conv"]["kernel"] * inv1
+        wr, br = p["residual"]["kernel"], p["residual"]["bias"]
+        k = _triple(self.kernel_size)
+        f = self.features
+        wr_emb = jnp.zeros((*k, in_features, f), w0.dtype)
+        wr_emb = wr_emb.at[k[0] // 2, k[1] // 2, k[2] // 2].set(wr[0, 0, 0])
+        wcat = jnp.concatenate([w0, wr_emb], axis=-1)
+        bcat = jnp.concatenate([b0, br])
+        pads = [(pi, pi) for pi in same_padding(k)]
+        one = (1, 1, 1)
+        if isinstance(x, (tuple, list)):
+            ca = x[0].shape[-1]
+            ycat = (conv3d(x[0], wcat[..., :ca, :], None, one, pads,
+                           dtype=self.dtype)
+                    + conv3d(x[1], wcat[..., ca:, :], bcat, one, pads,
+                             dtype=self.dtype))
+        else:
+            ycat = conv3d(x, wcat, bcat, one, pads, dtype=self.dtype)
+        y0, r = ycat[..., :f], ycat[..., f:]
+        u0 = jnp.maximum(y0, 0) + a0.astype(y0.dtype) * jnp.minimum(y0, 0)
+        y1 = conv3d(u0, w1, b1, one, pads, dtype=self.dtype)
+        u1 = jnp.maximum(y1, 0) + a1.astype(y1.dtype) * jnp.minimum(y1, 0)
+        return u1 + r
 
     def _rublock_fusable(self, x, train: bool, pair: bool,
                          in_features: int) -> bool:
