@@ -138,7 +138,7 @@ def profile_levels():
         sys.stdout.flush()
 
 
-def profile_train(trace=False):
+def profile_train(trace=False, batch=1):
     from vs_seg_tpu.core.config import Config
     from vs_seg_tpu.models import build_model
     from vs_seg_tpu.train.trainer import Trainer
@@ -149,8 +149,10 @@ def profile_train(trace=False):
     trainer = Trainer(cfg, model)
     state = trainer.init_state()
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.normal(size=(1, 64, 384, 384, 1)), jnp.float32)
-    label = jnp.asarray((rng.random((1, 64, 384, 384, 1)) > 0.9), jnp.float32)
+    image = jnp.asarray(rng.normal(size=(batch, 64, 384, 384, 1)),
+                        jnp.float32)
+    label = jnp.asarray((rng.random((batch, 64, 384, 384, 1)) > 0.9),
+                        jnp.float32)
 
     # train_step donates params/batch_stats/opt_state/rng — thread them
     from vs_seg_tpu.train.trainer import wrap_rng_data
@@ -168,7 +170,8 @@ def profile_train(trace=False):
         t0 = time.perf_counter()
         sync(step())
         best = min(best, time.perf_counter() - t0)
-    print(f"train step (batch 1, 384x384x64): {best*1e3:.1f} ms")
+    print(f"train step (batch {batch}, 384x384x64): {best*1e3:.1f} ms "
+          f"= {batch/best:.2f} volumes/sec")
     if trace:
         import os
         os.makedirs("runs/trace_r2", exist_ok=True)
@@ -185,6 +188,6 @@ if __name__ == "__main__":
     if which in ("levels", "all"):
         profile_levels()
     if which in ("train", "all"):
-        profile_train()
+        profile_train(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
     if which == "trace":
         profile_train(trace=True)
