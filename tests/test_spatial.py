@@ -88,7 +88,7 @@ def test_spatial_transpose_conv_matches_dense(rng, kh, sh):
     output_padding arithmetic must equal the dense transpose conv — the
     general halo/repad derivation in nn/layers.py:conv3d, not just the
     flagship (kh=3, stride 2) pattern."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vs_seg_tpu.nn.layers import ConvTranspose3d, spatial_sharding
