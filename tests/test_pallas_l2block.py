@@ -20,6 +20,7 @@ def _reference(xa, xb, att_vars, ru_vars):
     return ru.apply(ru_vars, (ga, gb), train=False)
 
 
+@pytest.mark.parametrize("tap2", [False, True])
 @pytest.mark.parametrize("dims", [
     (1, 4, 16, 16, 48),   # flagship-like channels
     (1, 3, 16, 16, 33),   # odd channel count, odd depth
@@ -27,7 +28,8 @@ def _reference(xa, xb, att_vars, ru_vars):
     (1, 1, 16, 16, 48),   # single depth plane (pipeline flush edge)
     (3, 2, 32, 16, 24),   # multi-H-tile x multi-batch
 ])
-def test_l2block_matches_composed_blocks(dims):
+def test_l2block_matches_composed_blocks(dims, tap2):
+    from vs_seg_tpu.ops import pallas_l2block
     B, D, H, W, C = dims
     rng = np.random.default_rng(0)
     xa = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
@@ -57,15 +59,19 @@ def test_l2block_matches_composed_blocks(dims):
            * jax.lax.rsqrt(bs["var"] + eps))
     shift = (rp["unit0"]["norm"]["bias"] - bs["mean"] * inv
              + rp["unit0"]["conv"]["bias"] * inv)
-    out = l2_block(
-        xa, xb,
-        w1=p["conv1"]["conv"]["kernel"], b1=p["conv1"]["conv"]["bias"],
-        w2=p["conv2"]["conv"]["kernel"], b2=p["conv2"]["conv"]["bias"],
-        w0=rp["unit0"]["conv"]["kernel"],
-        bn_scale=inv, bn_shift=shift,
-        alpha=rp["unit0"]["act"]["alpha"],
-        wr=rp["residual"]["kernel"], br=rp["residual"]["bias"],
-        interpret=True)
+    pallas_l2block.FORCE_TAP2 = tap2
+    try:
+        out = l2_block(
+            xa, xb,
+            w1=p["conv1"]["conv"]["kernel"], b1=p["conv1"]["conv"]["bias"],
+            w2=p["conv2"]["conv"]["kernel"], b2=p["conv2"]["conv"]["bias"],
+            w0=rp["unit0"]["conv"]["kernel"],
+            bn_scale=inv, bn_shift=shift,
+            alpha=rp["unit0"]["act"]["alpha"],
+            wr=rp["residual"]["kernel"], br=rp["residual"]["bias"],
+            interpret=True)
+    finally:
+        pallas_l2block.FORCE_TAP2 = False
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)

@@ -27,7 +27,7 @@ import numpy as np
 
 VOLUME_SHAPE = (448, 448, 80)
 ROI = (384, 384, 64)
-SW_BATCH = 8
+SW_BATCH = int(os.environ.get("VS_SW_BATCH", "8"))
 HLO_OUT = "/tmp/loop_hlo.txt"
 TRACE_DIR = "runs/trace_loop"
 

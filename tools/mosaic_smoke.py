@@ -98,6 +98,45 @@ def smoke_ds(tol):
     return err_of(out, ref), float(jnp.max(jnp.abs(ref)))
 
 
+def halo_checks(tol):
+    """The h-EXTENDED H blocks `halo_block_input` produces under spatial
+    sharding (VERDICT r4 item 4): the fused kernels run on H = local + 2h
+    geometries never exercised by the standard smokes, and this project's
+    documented hazard is Mosaic DMA geometry that MISCOMPILES silently.
+    Shards of the flagship L2 (H=96, W=96) and L3 (H=48, W=48) levels for
+    n in {2, 4, 8}; h computed by the same helpers the model dispatch uses,
+    so these rows track the real spatial path.  Output compared against the
+    composed XLA blocks at the SAME extended shape (the kept-rows
+    equivalence is pinned separately on the CPU mesh,
+    tests/test_spatial.py)."""
+    from vs_seg_tpu.models.unet2d5_spvpa import _l2_spatial_halo
+    from vs_seg_tpu.nn.blocks import _ru_spatial_halo
+    from vs_seg_tpu.ops.pallas_l2block import l2_block
+    from vs_seg_tpu.ops.pallas_rublock import ru_block
+
+    checks = []
+    for name, full_h, w, cin, cout in (("L2", 96, 96, 32, 48),
+                                       ("L3", 48, 48, 48, 64)):
+        for n in (2, 4, 8):
+            local = full_h // n
+            shape = (1, 2, local, w)
+            h_ru = _ru_spatial_halo((*shape, cin), cin, cout)
+            if h_ru:
+                ext = (1, 2, local + 2 * h_ru, w)
+                checks.append((
+                    f"rublock {name}/{n}shard Hext={ext[2]}",
+                    lambda e=ext, ci=cin, co=cout: smoke_ru(
+                        (3, 3, 3), ru_block, {}, e, ci, co, tol)))
+            h_l2 = _l2_spatial_halo((*shape, cout), cout)
+            if h_l2:
+                ext = (1, 2, local + 2 * h_l2, w)
+                checks.append((
+                    f"l2block {name}/{n}shard Hext={ext[2]}",
+                    lambda e=ext, co=cout: smoke_l2(
+                        (3, 3, 3), l2_block, {}, e, co, tol)))
+    return checks
+
+
 def main():
     from vs_seg_tpu.ops.pallas_block2d import l2_block2d, ru_block2d
     from vs_seg_tpu.ops.pallas_l2block import l2_block
@@ -116,6 +155,10 @@ def main():
         ("block2d l2 (3,3,1)", lambda: smoke_l2(
             (3, 3, 1), l2_block2d, {"cp": 16}, (1, 2, 8, 64), 16, tol)),
     ]
+    if "halo" in sys.argv or "all" in sys.argv:
+        checks += halo_checks(tol)
+    if "halo" in sys.argv and "all" not in sys.argv:
+        checks = halo_checks(tol)
     failed = False
     for name, f in checks:
         try:

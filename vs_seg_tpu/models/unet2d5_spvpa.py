@@ -174,9 +174,22 @@ def l2block_fusable(kern, pair_in, i: int, outc: int) -> bool:
         return pallas_l2block.can_l2_block(xa.shape, c)
     if layers._SPATIAL is not None:
         return False  # kd=1 2D kernels are not halo-aware (default-off)
+    if _tail2d_route(pair_in, i, outc):
+        return True
     cp = pallas_block2d.pick_cp(c, outc)
     return (pallas_block2d.l2_fusion_enabled()
             and pallas_block2d.can_block2d(xa.shape, cp, 2))
+
+
+def _tail2d_route(pair_in, i: int, outc: int) -> bool:
+    """Fused kd=1 decoder TAIL (ops/pallas_tail2d.py): att conv1 stays on
+    XLA (measured 87 TF/s there, r5 cost table); conv2 + gate + unit0 +
+    residual fuse.  Mutually exclusive with the full block2d kernel."""
+    from vs_seg_tpu.ops import pallas_tail2d
+
+    c = int(pair_in[0].shape[-1])
+    return (pallas_tail2d.fusion_enabled(i)
+            and pallas_tail2d.can_tail2d(pair_in[0].shape, c, c, outc))
 
 
 def _l2_spatial_halo(local_shape, c: int) -> int:
@@ -243,6 +256,27 @@ def l2block_apply(variables, kern, pair_in, i: int, outc: int):
         stash_pad64(out, out64)
         return out
     c = int(pair_in[0].shape[-1])
+    if _tail2d_route(pair_in, i, outc):
+        import jax
+
+        from vs_seg_tpu.nn.layers import conv3d, same_padding
+        from vs_seg_tpu.ops import pallas_tail2d
+
+        # att conv1 on XLA, exactly as the traced Convolution pair path
+        # (Conv3d splits the concat; act=relu, norm=None)
+        pads = [(p, p) for p in same_padding((3, 3, 1))]
+        dt = pair_in[0].dtype
+        ya = conv3d(pair_in[0], kw["w1"][..., :c, :], None, (1, 1, 1), pads,
+                    dtype=dt)
+        yb = conv3d(pair_in[1], kw["w1"][..., c:, :], kw["b1"], (1, 1, 1),
+                    pads, dtype=dt)
+        a1 = jax.nn.relu(ya + yb)
+        return pallas_tail2d.tail_block(
+            a1, pair_in[0], pair_in[1], w2=kw["w2"], b2=kw["b2"],
+            w0=kw["w0"], bn_scale=kw["bn_scale"], bn_shift=kw["bn_shift"],
+            alpha=kw["alpha"], wr=kw["wr"], br=kw["br"], cout=outc,
+            cp=pallas_tail2d.pick_cp(c, c, outc),
+            interpret=pallas_tail2d.FORCE_INTERPRET)
     return pallas_block2d.l2_block2d(
         pair_in[0], pair_in[1], cp=pallas_block2d.pick_cp(c, outc),
         interpret=pallas_block2d.FORCE_INTERPRET, **kw)

@@ -92,6 +92,48 @@ def build_colcast_mats_g(w2, cp: int):
     return mains, edges
 
 
+def build_conv2_tap_mats(w2, ca: int, cp: int):
+    """conv2 (C->1) TAP-PACKED Toeplitz blocks: output column q*cp + dd*3
+    + dh holds the (dd, dh)-tap W-contraction partial for position q — one
+    (main + edge) matmul pair per input plane computes every tap's partial,
+    instead of colcast's 2 matmuls per (dd, dh) tap (3*kd matmuls -> 2).
+    The caller combines the partials with row slices/shifts and one
+    `build_tap_bcast_mat` matmul that sums the tap columns and broadcasts
+    the attention scalar across the block's cp lanes.  w2: (3, 3, kd, Ca,
+    1); requires 3*kd <= cp."""
+    kh, kw, kd, cin, _ = w2.shape
+    assert (kh, kw) == (3, 3) and cin <= cp and 128 % cp == 0
+    assert 3 * kd <= cp
+    g = 128 // cp
+    assert g >= 2
+    wf = jnp.zeros((3, 3, kd, cp), jnp.float32)
+    wf = wf.at[:, :, :, :ca].set(jnp.asarray(w2[..., 0], jnp.float32))
+    m = jnp.zeros((128, 128), jnp.float32)
+    e = jnp.zeros((128, 128), jnp.float32)
+    for dd in range(kd):
+        for dh in range(3):
+            col = dd * 3 + dh
+            for q in range(g):
+                for dw in range(3):
+                    p = q + dw - 1
+                    if 0 <= p < g:
+                        m = m.at[p * cp:(p + 1) * cp,
+                                 q * cp + col].set(wf[dh, dw, dd])
+            e = e.at[0:cp, (g - 1) * cp + col].set(wf[dh, 2, dd])
+            e = e.at[(g - 1) * cp:, col].set(wf[dh, 0, dd])
+    return m, e
+
+
+def build_tap_bcast_mat(cp: int, ncols: int):
+    """Block-diagonal ones: sums the first `ncols` tap columns of each
+    position block and broadcasts the result across the block's cp lanes."""
+    g = 128 // cp
+    b = jnp.zeros((128, 128), jnp.float32)
+    for q in range(g):
+        b = b.at[q * cp:q * cp + ncols, q * cp:(q + 1) * cp].set(1.0)
+    return b
+
+
 def build_res_mats_g(wr, cins, cout: int, cp: int):
     """1x1x1 residual conv as per-input position-preserving block-diagonal
     (128, 128) matrices.  wr: (1, 1, 1, sum(cins), cout)."""

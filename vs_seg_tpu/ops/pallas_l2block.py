@@ -57,7 +57,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vs_seg_tpu.ops.pallas_conv333 import _build_mats
 
-OF = 8  # x-slab H over-fetch (rows) for DMA sublane alignment
+# x-slab H over-fetch (lines) each side.  Was 8 when the flat view carried a
+# global row pad (DMA start alignment); with the 3-piece clamped-source DMA
+# the only lower bound is the deepest negative in-slab offset — stage B of
+# the l2block reads (OF-3+dh)*nb — so 4 halves the slab overfetch (the x DMA
+# read (ht+2*OF)/ht of the tensor: 2x at ht=16) and shrinks every
+# srows-sized VPU temp.  Alignment holds for any OF (offsets are multiples
+# of nb, nb % 8 == 0).
+OF = 4
+
+
+def dma_slab_3piece(x_ref, dst, sem, body_src, halo, body, total):
+    """DMA a (halo + body + halo)-row slab around flat row `body_src` into
+    `dst`, as three full-destination copies with CLAMPED source offsets.
+    The clamped front/back pieces read in-bounds garbage exactly when the
+    halo crosses the array ends — rows the kernels' H-tile/plane masks
+    already zero (halo rows are only real when the adjacent tile is in the
+    same plane).  Replaces the global OF*nb row pad of the flat view, which
+    was a full extra HBM copy of every input (measured ~14 ms/volume at
+    bench shapes, the jit(_pad) rows of the r5 cost table).  All offsets
+    are multiples of nb (nb % 8 == 0), so sublane alignment holds."""
+    # every term is a multiple of nb and nb % 8 == 0; Mosaic cannot prove
+    # that through the clamps, hence the multiple_of hints
+    front = pltpu.make_async_copy(
+        x_ref.at[pl.ds(pl.multiple_of(jnp.maximum(body_src - halo, 0), 8),
+                       halo)],
+        dst.at[pl.ds(0, halo)], sem)
+    mid = pltpu.make_async_copy(
+        x_ref.at[pl.ds(pl.multiple_of(body_src, 8), body)],
+        dst.at[pl.ds(halo, body)], sem)
+    back = pltpu.make_async_copy(
+        x_ref.at[pl.ds(pl.multiple_of(
+            jnp.minimum(body_src + body, total - halo), 8), halo)],
+        dst.at[pl.ds(halo + body, halo)], sem)
+    front.start()
+    mid.start()
+    back.start()
+    front.wait()
+    mid.wait()
+    back.wait()
 
 
 def _edge_prep(buf, nb: int, dtype):
@@ -80,10 +118,10 @@ def _mm(lhs, mat):
                                preferred_element_type=jnp.float32)
 
 
-def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
+def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2p_ref,
                     w0m_ref, w0e_ref, wr_ref, eps_ref, out_ref,
                     xr_a, xr_b, a1m_r, a1x_r, gm_a, gx_a, gm_b, gx_b, sem,
-                    *, ht, h, nb, d_per_b, out_dtype):
+                    *, ht, h, nb, d_per_b, out_dtype, tap2):
     b = pl.program_id(0)
     s = pl.program_id(2)
     ti = pl.program_id(1)
@@ -99,12 +137,11 @@ def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
     # ---- stage A: DMA plane s of both inputs into the x rings ----------
     @pl.when(s < d_per_b)
     def _load():
-        start = ((b * d_per_b + s) * h + ti * ht) * nb  # incl. global pad OF
+        body_src = ((b * d_per_b + s) * h + ti * ht) * nb
+        total = pl.num_programs(0) * d_per_b * h * nb
         for xi, (x_ref, ring) in enumerate(zip((xa_ref, xb_ref), x_rings)):
-            cp = pltpu.make_async_copy(
-                x_ref.at[pl.ds(start, srows)], ring.at[s % 3], sem.at[xi])
-            cp.start()
-            cp.wait()
+            dma_slab_3piece(x_ref, ring.at[s % 3], sem.at[xi], body_src,
+                            OF * nb, ht * nb, total)
 
     def x_slab(xi, p):
         """Plane-p slab of input xi, with invalid rows zeroed (out-of-range
@@ -140,8 +177,19 @@ def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
         bad = (((ti == 0) & (fr < 2 * nb))
                | ((ti == nt - 1) & (fr >= rows_a1 - 2 * nb)))
         a1 = jnp.where(bad, 0.0, a1)
-        a1m_r[q % 3] = a1.astype(out_dtype)
-        a1x_r[q % 3] = _edge_prep(a1, nb, out_dtype)
+        if tap2:
+            # tap-packed conv2 (r5): ONE (main + edge) matmul pair computes
+            # every (dd, dh) tap partial of this plane into columns
+            # q*64 + dd*3 + dh; the a1 value itself is never stored — the
+            # P ring (f32, same bytes as the two bf16 a1 rings it replaces)
+            # is all stage C needs.  18 matmuls/plane -> 3.
+            a1d = a1.astype(out_dtype)
+            a1m_r[q % 3] = (_mm(a1d, w2p_ref[0])
+                            + _mm(_edge_prep(a1, nb, out_dtype),
+                                  w2p_ref[1]))
+        else:
+            a1m_r[q % 3] = a1.astype(out_dtype)
+            a1x_r[q % 3] = _edge_prep(a1, nb, out_dtype)
 
     def a1_bufs(p):
         valid = (p >= 0) & (p < d_per_b)
@@ -150,19 +198,34 @@ def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2m_ref, w2e_ref,
         return (jnp.where(valid, a1m_r[i], zero),
                 jnp.where(valid, a1x_r[i], zero))
 
+    def p_buf(p):
+        valid = (p >= 0) & (p < d_per_b)
+        i = jax.lax.rem(p + 3, 3)
+        return jnp.where(valid, a1m_r[i], jnp.zeros((), jnp.float32))
+
     # ---- stage C: att(s-2) wide + gate -> gated rings -------------------
     @pl.when((s >= 2) & (s - 2 < d_per_b))
     def _gate():
         p = s - 2
-        acc = jnp.zeros((rows_g, 128), jnp.float32)
-        k = 0
-        for dd in range(3):
-            a1m, a1x = a1_bufs(p + dd - 1)
-            for dh in range(3):
-                sl = slice(dh * nb, dh * nb + rows_g)
-                acc += _mm(a1m[sl], w2m_ref[k])
-                acc += _mm(a1x[sl], w2e_ref[k])
-                k += 1
+        if tap2:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows_g, 128), 1)
+            tt = jnp.zeros((rows_g, 128), jnp.float32)
+            for dd in range(3):
+                pd = p_buf(p + dd - 1)
+                for dh in range(3):
+                    sl = slice(dh * nb, dh * nb + rows_g)
+                    tt += jnp.where(lane % 64 == dd * 3 + dh, pd[sl], 0.0)
+            acc = _mm(tt.astype(out_dtype), w2p_ref[2])
+        else:
+            acc = jnp.zeros((rows_g, 128), jnp.float32)
+            k = 0
+            for dd in range(3):
+                a1m, a1x = a1_bufs(p + dd - 1)
+                for dh in range(3):
+                    sl = slice(dh * nb, dh * nb + rows_g)
+                    acc += _mm(a1m[sl], w2p_ref[k])
+                    acc += _mm(a1x[sl], w2p_ref[9 + k])
+                    k += 1
         att = jax.nn.sigmoid(acc + eps_ref[1][None])  # wide: every lane of
         # a W-position block holds that position's attention value
         fr = jax.lax.broadcasted_iota(jnp.int32, (rows_g, 128), 0)
@@ -299,9 +362,16 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
 
     w1m, w1e = mats_for(w1, (C, C))
     w0m, w0e = mats_for(w0, (C, C))
-    m2, e2 = _colcast_mats(w2)
-    w2m = jnp.stack(m2).astype(dtype)
-    w2e = jnp.stack(e2).astype(dtype)
+    tap2 = tap2_enabled()
+    if tap2:
+        from vs_seg_tpu.ops.blockmats import (
+            build_conv2_tap_mats, build_tap_bcast_mat,
+        )
+        m2, e2 = build_conv2_tap_mats(w2, C, 64)
+        w2p = jnp.stack([m2, e2, build_tap_bcast_mat(64, 9)]).astype(dtype)
+    else:
+        m2, e2 = _colcast_mats(w2)
+        w2p = jnp.stack(m2 + e2).astype(dtype)
     wrm = jnp.stack(_res_mats(wr, C, C, C)).astype(dtype)
 
     eps = jnp.stack([
@@ -319,8 +389,9 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
     for v in (xa, xb):
         vp = (v if v.shape[-1] == 64
               else jnp.pad(v, ((0, 0),) * 4 + ((0, 64 - C),)))
-        xvs.append(jnp.pad(vp.reshape(rows * nb, 128),
-                           ((OF * nb, OF * nb), (0, 0))))
+        # no row pad: the kernel's 3-piece clamped-source DMA covers the
+        # OF*nb halo (dma_slab_3piece) — the pad was a full HBM copy
+        xvs.append(vp.reshape(rows * nb, 128))
 
     srows = (ht + 2 * OF) * nb
     rows_a1 = (ht + 4) * nb
@@ -328,12 +399,18 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
     nt = H // ht
 
     grid = (B, nt, D + 3)
+    if tap2:
+        a1_rings = [pltpu.VMEM((3, rows_a1, 128), jnp.float32),  # P ring
+                    pltpu.VMEM((1, 8, 128), dtype)]              # unused
+    else:
+        a1_rings = [pltpu.VMEM((3, rows_a1, 128), dtype),   # a1 main ring
+                    pltpu.VMEM((3, rows_a1, 128), dtype)]   # a1 edge ring
     kernel = pl.pallas_call(
         partial(_l2block_kernel, ht=ht, h=H, nb=nb, d_per_b=D,
-                out_dtype=dtype),
+                out_dtype=dtype, tap2=tap2),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
-            pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(
             (ht * nb, 128),
             lambda b, ti, s: ((b * D + jnp.clip(s - 3, 0, D - 1)) * nt + ti,
@@ -343,8 +420,7 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
         scratch_shapes=[
             pltpu.VMEM((3, srows, 128), dtype),      # xr_a
             pltpu.VMEM((3, srows, 128), dtype),      # xr_b
-            pltpu.VMEM((3, rows_a1, 128), dtype),    # a1 main ring
-            pltpu.VMEM((3, rows_a1, 128), dtype),    # a1 edge ring
+        ] + a1_rings + [
             pltpu.VMEM((3, rows_g, 128), dtype),     # gated a main
             pltpu.VMEM((3, rows_g, 128), dtype),     # gated a edge
             pltpu.VMEM((3, rows_g, 128), dtype),     # gated b main
@@ -353,7 +429,7 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
         ],
         interpret=interpret,
     )
-    out = kernel(*xvs, w1m, w1e, w2m, w2e, w0m, w0e, wrm, eps
+    out = kernel(*xvs, w1m, w1e, w2p, w0m, w0e, wrm, eps
                  ).reshape(B, D, H, W, 64)
     return out if out_padded else out[..., :C]
 
@@ -389,6 +465,21 @@ def can_l2_block(shape, C: int) -> bool:
 
 # Tests set this to exercise the fused path on CPU via interpret mode.
 FORCE_INTERPRET = False
+# Tests set this to force the tap-packed conv2 variant regardless of env.
+FORCE_TAP2 = False
+
+
+def tap2_enabled() -> bool:
+    """Tap-packed conv2 inside the l2block (r5): replaces the 18 colcast
+    matmuls per plane with one (main + edge) pair at stage B plus one
+    ones-broadcast matmul at stage C (~16 % of the kernel's delivered
+    FLOPs), at the cost of 9 masked-select passes assembling the tap
+    columns.  VS_L2TAP gates it for the bench A/B."""
+    import os
+
+    if FORCE_TAP2:
+        return True
+    return os.environ.get("VS_L2TAP", "0") == "1"
 
 
 def fusion_enabled() -> bool:

@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vs_seg_tpu.ops.pallas_conv333 import _build_mats
-from vs_seg_tpu.ops.pallas_l2block import OF, _edge_prep, _mm, _pad_vec
+from vs_seg_tpu.ops.pallas_l2block import (
+    OF, _edge_prep, _mm, _pad_vec, dma_slab_3piece,
+)
 
 
 def _rublock_kernel(x_ref, w0m_ref, w0e_ref, w1m_ref, w1e_ref, wr_ref,
@@ -58,11 +60,10 @@ def _rublock_kernel(x_ref, w0m_ref, w0e_ref, w1m_ref, w1e_ref, wr_ref,
     # ---- stage A: DMA plane s of the input into the x ring --------------
     @pl.when(s < d_per_b)
     def _load():
-        start = ((b * d_per_b + s) * h + ti * ht) * nb  # incl. global pad OF
-        cp = pltpu.make_async_copy(
-            x_ref.at[pl.ds(start, srows)], xr.at[s % 3], sem)
-        cp.start()
-        cp.wait()
+        body_src = ((b * d_per_b + s) * h + ti * ht) * nb
+        total = pl.num_programs(0) * d_per_b * h * nb
+        dma_slab_3piece(x_ref, xr.at[s % 3], sem, body_src, OF * nb,
+                        ht * nb, total)
 
     def x_slab(p):
         """Plane-p slab with invalid rows zeroed (out-of-range plane;
@@ -183,7 +184,8 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
     rows = B * D * H
     xp = (x if x.shape[-1] == 64
           else jnp.pad(x, ((0, 0),) * 4 + ((0, 64 - Cin),)))
-    xv = jnp.pad(xp.reshape(rows * nb, 128), ((OF * nb, OF * nb), (0, 0)))
+    # no row pad: 3-piece clamped-source DMA covers the OF*nb halo
+    xv = xp.reshape(rows * nb, 128)
 
     srows = (ht + 2 * OF) * nb
     rows_u0 = (ht + 2) * nb
