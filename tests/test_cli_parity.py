@@ -48,6 +48,17 @@ ROI = (128, 128, 32)          # debug-mode ROI (core/config.py:107)
 VOLUME = (160, 160, 36)       # (H, W, D) -> 2x2x2 windows at overlap 0.25
 OVERLAP = 0.25
 
+# The reference CLI flag matrix (VSparams.py:39-66), parity-pinned
+# end-to-end: --no_attention changes the model topology and --dataset the
+# file naming/path scheme, so both get full CLI legs here.  --no_hardness
+# only affects the TRAINING loss (VSparams.py:381-386) — its parity is
+# pinned value+gradient against the reference source across all four
+# (attention, hardness) combos in test_reference_oracle.py.
+LEGS = {
+    "att-T1": dict(attention=True, dataset="T1"),
+    "noatt-T2": dict(attention=False, dataset="T2"),
+}
+
 
 # --- MONAI 0.4 sliding-window semantics, re-derived ------------------------
 
@@ -123,12 +134,18 @@ def _oracle_sliding_window(volume_hwdc, ref_model):
 
 # --- the harness -----------------------------------------------------------
 
+@pytest.fixture(scope="module", params=sorted(LEGS))
+def leg(request):
+    return LEGS[request.param]
+
+
 @pytest.fixture(scope="module")
-def ref_flagship():
+def ref_flagship(leg):
     torch.manual_seed(3)
     model = RefUNet2d5_spvPA(
         dimensions=3, in_channels=1, out_channels=2, num_res_units=2,
-        norm="batch", dropout=0.1, attention_module=True, **FLAGSHIP)
+        norm="batch", dropout=0.1, attention_module=leg["attention"],
+        **FLAGSHIP)
     # non-degenerate BN running stats so eval-mode normalization is real
     sd = model.state_dict()
     g = torch.Generator().manual_seed(4)
@@ -155,7 +172,7 @@ def dataset_root(tmp_path_factory, ref_flagship):
 
 
 @pytest.fixture(scope="module")
-def cli_run(dataset_root):
+def cli_run(dataset_root, leg):
     import importlib.util
     cli_path = os.path.join(os.path.dirname(__file__), "..", "VS_inference.py")
     spec = importlib.util.spec_from_file_location("vs_seg_tpu_cli_inference",
@@ -165,31 +182,34 @@ def cli_run(dataset_root):
     VS_inference.main([
         "--debug", "--data_root", dataset_root,
         "--results_folder_name", "ignored-in-debug",
+        "--dataset", leg["dataset"],
         "--compute_dtype", "float32", "--infer_dtype", "float32",
         "--sw_batch_size", "2",
-    ])
+    ] + ([] if leg["attention"] else ["--no_attention"]))
     return dataset_root
 
 
-def _preprocessed_test_cases(root):
+def _preprocessed_test_cases(root, dataset="T1"):
     """The CLI's own test pipeline (load -> channel -> RAS -> normalize)."""
     from vs_seg_tpu.core.config import Config
     from vs_seg_tpu.data.dataset import load_split_csv
     from vs_seg_tpu.data.transforms import get_transforms
-    cfg = Config(debug=True, data_root=root)
+    cfg = Config(debug=True, data_root=root, dataset=dataset)
     _, _, test_files = load_split_csv(cfg.split_csv, cfg.dataset, root)
     _, _, test_t = get_transforms(cfg.pad_crop_shape_test)
     return [test_t(dict(f)) for f in test_files]
 
 
-def test_cli_inference_matches_reference_sliding_window(cli_run, ref_flagship):
+def test_cli_inference_matches_reference_sliding_window(cli_run, ref_flagship,
+                                                        leg):
     """Exported labelmaps from the real VS_inference.py run must equal the
     torch oracle's argmax; blended logits from our engine-level sliding
-    window must match the oracle within float32 tolerance."""
+    window must match the oracle within float32 tolerance.  Runs once per
+    CLI leg (attention on/T1 and --no_attention/T2)."""
     from vs_seg_tpu.data import nifti
 
     root = cli_run
-    cases = _preprocessed_test_cases(root)
+    cases = _preprocessed_test_cases(root, leg["dataset"])
     assert cases, "no test cases"
     for sample in cases:
         image = np.asarray(sample["image"])[0]  # (H, W, D) RAS, normalized
@@ -214,7 +234,7 @@ def test_cli_inference_matches_reference_sliding_window(cli_run, ref_flagship):
         assert mismatch == 0.0, f"{case}: {mismatch:.2e} voxels differ"
 
 
-def test_full_size_pth_strict_roundtrip(ref_flagship, tmp_path):
+def test_full_size_pth_strict_roundtrip(ref_flagship, leg, tmp_path):
     """The Zenodo seam, hardened to a data-only problem (VERDICT r3 task 8):
     a FULL-SIZE flagship `.pth` with the exact Zenodo state-dict naming
     (saved by torch from the reference's own model class, the same way
@@ -233,11 +253,12 @@ def test_full_size_pth_strict_roundtrip(ref_flagship, tmp_path):
     # exactly the torch tensor set the reference architecture produces
     expected_keys = set(RefUNet2d5_spvPA(
         dimensions=3, in_channels=1, out_channels=2, num_res_units=2,
-        norm="batch", dropout=0.1, attention_module=True,
+        norm="batch", dropout=0.1, attention_module=leg["attention"],
         **FLAGSHIP).state_dict().keys())
     assert set(sd.keys()) == expected_keys
 
-    params, stats = import_unet2d5_spvpa(sd)  # strict=True default
+    params, stats = import_unet2d5_spvpa(
+        sd, attention=leg["attention"])  # strict=True default
     # spot-check full-size flagship shapes (Zenodo checkpoints are this size)
     assert params["down_0"]["unit0"]["conv"]["kernel"].shape == (3, 3, 1, 1, 16)
     assert params["bottom"]["unit0"]["conv"]["kernel"].shape == (3, 3, 3, 80, 96)
@@ -254,7 +275,7 @@ def test_full_size_pth_strict_roundtrip(ref_flagship, tmp_path):
         import_unet2d5_spvpa(sd_missing)
 
 
-def test_engine_blended_logits_match_oracle(dataset_root, ref_flagship):
+def test_engine_blended_logits_match_oracle(dataset_root, ref_flagship, leg):
     """Direct logit-level bound: our fused window loop + Pallas/XLA blending
     vs the oracle accumulation, same weights, float32."""
     import jax.numpy as jnp
@@ -264,14 +285,16 @@ def test_engine_blended_logits_match_oracle(dataset_root, ref_flagship):
     from vs_seg_tpu.infer.sliding_window import sliding_window_inference
     from vs_seg_tpu.models import UNet2d5_spvPA
 
-    sample = _preprocessed_test_cases(dataset_root)[0]
+    sample = _preprocessed_test_cases(dataset_root, leg["dataset"])[0]
     image = np.asarray(sample["image"])[0].astype(np.float32)
 
     params, stats = import_unet2d5_spvpa(
         {k: v.clone() for k, v in ref_flagship.state_dict().items()},
-        channels=FLAGSHIP["channels"], num_res_units=2, attention=True)
+        channels=FLAGSHIP["channels"], num_res_units=2,
+        attention=leg["attention"])
     model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=0.1,
-                          attention_module=True, dtype=jnp.float32)
+                          attention_module=leg["attention"],
+                          dtype=jnp.float32)
     predictor = make_predictor(model, params, stats, dtype=jnp.float32)
 
     ours = np.asarray(sliding_window_inference(

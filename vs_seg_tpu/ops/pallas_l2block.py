@@ -474,12 +474,14 @@ def tap2_enabled() -> bool:
     matmuls per plane with one (main + edge) pair at stage B plus one
     ones-broadcast matmul at stage C (~16 % of the kernel's delivered
     FLOPs), at the cost of 9 masked-select passes assembling the tap
-    columns.  VS_L2TAP gates it for the bench A/B."""
+    columns.  Default ON: bench-loop A/B (same relay hour) 287.0/287.2 ->
+    282.8 ms; the OF4-only leg pinned the credit to this change
+    (docs/KERNELS.md r5 gate table).  VS_L2TAP=0 restores colcast."""
     import os
 
     if FORCE_TAP2:
         return True
-    return os.environ.get("VS_L2TAP", "0") == "1"
+    return os.environ.get("VS_L2TAP", "1") == "1"
 
 
 def fusion_enabled() -> bool:
