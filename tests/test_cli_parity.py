@@ -265,14 +265,15 @@ def test_full_size_pth_strict_roundtrip(ref_flagship, leg, tmp_path):
     assert stats["down_0"]["unit0"]["norm"]["mean"].shape == (16,)
 
     # strictness: an extra tensor is rejected, a missing one is named
+    # (down_0's first conv exists — and is consumed first — on both legs)
     sd_extra = dict(sd)
     sd_extra["model.0.conv.unit0.conv.weight_v"] = sd["model.0.conv.unit0.conv.weight"]
     with pytest.raises(ValueError, match="unexpected key"):
-        import_unet2d5_spvpa(sd_extra)
+        import_unet2d5_spvpa(sd_extra, attention=leg["attention"])
     sd_missing = {k: v for k, v in sd.items()
-                  if k != "model.2.1.conv.unit0.conv.weight"}
-    with pytest.raises(KeyError, match="model.2.1.conv.unit0.conv.weight"):
-        import_unet2d5_spvpa(sd_missing)
+                  if k != "model.0.conv.unit0.conv.weight"}
+    with pytest.raises(KeyError, match="model.0.conv.unit0.conv.weight"):
+        import_unet2d5_spvpa(sd_missing, attention=leg["attention"])
 
 
 def test_engine_blended_logits_match_oracle(dataset_root, ref_flagship, leg):

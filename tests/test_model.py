@@ -204,7 +204,7 @@ def test_fused_attention_matches_reference():
     AttentionBlock1) must reproduce the unfused XLA path exactly at eval.
     Shapes are chosen so upatt_0 (kd=1) and upatt_1 (kd=3) fuse while
     bottom_att falls back (W*Cm % 128 != 0) — both paths in one forward."""
-    from vs_seg_tpu.ops import pallas_att
+    from vs_seg_tpu.ops.experimental import pallas_att
 
     cfg = dict(channels=(8, 16), strides=((2, 2, 2),),
                kernel_sizes=((3, 3, 1), (3, 3, 3)),
@@ -372,7 +372,7 @@ def test_fused_block2d_matches_reference():
     reproduce the unfused XLA path at eval: the (3,3,1) level-0 encoder
     block (1->8ch, cp16) and the decoder logit head (8+8 halves -> 2)
     both fuse at W=64; interior levels are (3,3,3) and stay unfused here."""
-    from vs_seg_tpu.ops import pallas_block2d
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -405,7 +405,8 @@ def test_fused_blocks_no_attention_model():
     """All mega-kernel gates on with attention OFF: the decoder fusions
     must stay out (they require the attention block) while the encoder
     rublock/block2d paths still reproduce the unfused forward."""
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops import pallas_l2block
+    from vs_seg_tpu.ops.experimental import pallas_block2d, pallas_rublock
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -469,7 +470,8 @@ def test_fused_dsconv_matches_reference():
     BETWEEN two fused blocks).  The level-1 downsample of this config
     fuses (16ch, 32x32 -> 16x16); level-0 is (2,2,1)-strided and falls
     back."""
-    from vs_seg_tpu.ops import pallas_dsconv, pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops import pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops.experimental import pallas_dsconv
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -522,6 +524,37 @@ def test_resfold_matches_reference(monkeypatch):
     monkeypatch.setenv("VS_RESFOLD", "0")
     logits_ref, atts_ref = model.apply(variables, x, train=False)
     monkeypatch.setenv("VS_RESFOLD", "1")
+    logits, atts = model.apply(variables, x, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-5, rtol=2e-5)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_headfold_matches_reference(monkeypatch):
+    """The conv-only logit head fold (nn/blocks.py:_headfold_apply,
+    VS_HEADFOLD, default ON): with no norm/act in the up_0 head,
+    conv0(x) + b0 + conv1x1(x) + br folds exactly into ONE conv with the
+    residual center-embedded into unit0's kernel and the biases summed —
+    same cin/cout/kernel, so no emitter-flip surface (unlike VS_RESFOLD).
+    Reference semantics: convolutions.py:159-255 with last_conv_only at
+    unet2d5_spvPA.py:174-202's top level."""
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    monkeypatch.setenv("VS_HEADFOLD", "0")
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    monkeypatch.setenv("VS_HEADFOLD", "1")
     logits, atts = model.apply(variables, x, train=False)
 
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from vs_seg_tpu.nn.layers import conv3d
-from vs_seg_tpu.ops.pallas_att import can_fuse, fused_attention_gate, pick_ht
+from vs_seg_tpu.ops.experimental.pallas_att import can_fuse, fused_attention_gate, pick_ht
 
 
 def _xla_reference(a1, xs, w2, b2, kd):

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from vs_seg_tpu.nn.blocks import AttentionBlock1, ResidualUnit, attention_gate
-from vs_seg_tpu.ops.pallas_block2d import l2_block2d, pick_cp, ru_block2d
+from vs_seg_tpu.ops.experimental.pallas_block2d import l2_block2d, pick_cp, ru_block2d
 
 
 def folded_affine(params, stats, unit):
@@ -91,7 +91,7 @@ def test_flagship_geometry_dispatch_coverage():
     """Pin which flagship sites each kernel family covers — a refactor of
     the geometry predicates must not silently shrink fused coverage
     (trace-time audit values from the round-3 build)."""
-    from vs_seg_tpu.ops.pallas_block2d import can_block2d, pick_cp
+    from vs_seg_tpu.ops.experimental.pallas_block2d import can_block2d, pick_cp
     from vs_seg_tpu.ops.pallas_l2block import can_l2_block
     from vs_seg_tpu.ops.pallas_rublock import can_ru_block
 

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from vs_seg_tpu.nn.layers import conv3d
-from vs_seg_tpu.ops.pallas_dsconv import can_ds_conv, ds_conv
+from vs_seg_tpu.ops.experimental.pallas_dsconv import can_ds_conv, ds_conv
 
 
 def _ref(x, w, b=None):

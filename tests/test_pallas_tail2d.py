@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from vs_seg_tpu.nn.layers import conv3d, same_padding
-from vs_seg_tpu.ops import pallas_tail2d
+from vs_seg_tpu.ops.experimental import pallas_tail2d
 
 
 def _ref_tail(a1, xa, xb, w2, b2, w0, scale, shift, alpha, wr, br):

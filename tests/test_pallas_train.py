@@ -7,8 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vs_seg_tpu.ops import pallas_train
-from vs_seg_tpu.ops.pallas_train import (
+from vs_seg_tpu.ops.experimental import pallas_train
+from vs_seg_tpu.ops.experimental.pallas_train import (
     can_train_conv, conv333_dw, conv333_train, db_extract, dw_extract,
 )
 

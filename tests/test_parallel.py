@@ -156,7 +156,9 @@ def test_sharded_inference_composes_with_fused_blocks(rng):
     from vs_seg_tpu.infer.sharded import sliding_window_inference_sharded
     from vs_seg_tpu.infer.sliding_window import sliding_window_inference
     from vs_seg_tpu.models import UNet2d5_spvPA
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops import pallas_l2block
+    from vs_seg_tpu.ops import pallas_rublock
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -194,7 +196,9 @@ def test_fused_window_loop_composes_with_fused_blocks(rng):
     from vs_seg_tpu.infer.engine import make_predictor
     from vs_seg_tpu.infer.sliding_window import sliding_window_inference
     from vs_seg_tpu.models import UNet2d5_spvPA
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops import pallas_l2block
+    from vs_seg_tpu.ops import pallas_rublock
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),

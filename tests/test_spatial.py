@@ -120,7 +120,7 @@ def test_2d_fusion_gates_disabled_under_spatial_context():
     l2block/rublock kernels ARE allowed there since r4 — their dispatchers
     exchange halo rows; exactness pinned below.)"""
     from vs_seg_tpu.nn.layers import spatial_sharding
-    from vs_seg_tpu.ops import pallas_block2d
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     pallas_block2d.FORCE_INTERPRET = True
     try:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vs_seg_tpu.nn.layers import conv3d
-from vs_seg_tpu.ops.pallas_att import fused_attention_gate
+from vs_seg_tpu.ops.experimental.pallas_att import fused_attention_gate
 
 REPS = 3
 

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vs_seg_tpu.nn.blocks import ResidualUnit
-from vs_seg_tpu.ops import pallas_block2d
-from vs_seg_tpu.ops.pallas_block2d import pick_cp, pick_ht_2d, ru_block2d
+from vs_seg_tpu.ops.experimental import pallas_block2d
+from vs_seg_tpu.ops.experimental.pallas_block2d import pick_cp, pick_ht_2d, ru_block2d
 from tools.l2block_probe import chain_timed_single, ru_fused_args, sync
 
 

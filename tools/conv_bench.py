@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vs_seg_tpu.ops.widthpack import widthpack_kernel
+from vs_seg_tpu.ops.experimental.widthpack import widthpack_kernel
 
 CHAIN = 16  # convs chained per scan step
 STEPS = 4

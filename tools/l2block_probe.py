@@ -167,7 +167,7 @@ def chain_timed_single(fn, x):
 def run_2d():
     """kd=1 kernels on real Mosaic: numerics at flagship-like L0/L1 shapes
     (reduced D), then chain timing at L1."""
-    from vs_seg_tpu.ops.pallas_block2d import l2_block2d, pick_cp, ru_block2d
+    from vs_seg_tpu.ops.experimental.pallas_block2d import l2_block2d, pick_cp, ru_block2d
 
     rng = np.random.default_rng(0)
     # encoder L1: 16->32 at 192x192

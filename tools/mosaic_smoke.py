@@ -83,7 +83,7 @@ def smoke_l2(kernel_size, fn, fn_kwargs, shape, c, tol):
 
 def smoke_ds(tol):
     from vs_seg_tpu.nn.layers import conv3d
-    from vs_seg_tpu.ops.pallas_dsconv import ds_conv
+    from vs_seg_tpu.ops.experimental.pallas_dsconv import ds_conv
 
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 2, 8, 32, 16)), jnp.bfloat16)
@@ -138,7 +138,7 @@ def halo_checks(tol):
 
 
 def main():
-    from vs_seg_tpu.ops.pallas_block2d import l2_block2d, ru_block2d
+    from vs_seg_tpu.ops.experimental.pallas_block2d import l2_block2d, ru_block2d
     from vs_seg_tpu.ops.pallas_l2block import l2_block
     from vs_seg_tpu.ops.pallas_rublock import ru_block
 

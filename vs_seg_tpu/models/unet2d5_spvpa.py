@@ -157,7 +157,8 @@ def l2block_fusable(kern, pair_in, i: int, outc: int) -> bool:
     """Fused decoder-block shape/gate check — shared by the model __call__
     and the spatially-sharded forward (infer/spatial.py)."""
     from vs_seg_tpu.nn import layers
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
+    from vs_seg_tpu.ops import pallas_l2block
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     if kern not in ((3, 3, 3), (3, 3, 1)):
         return False
@@ -185,7 +186,7 @@ def _tail2d_route(pair_in, i: int, outc: int) -> bool:
     """Fused kd=1 decoder TAIL (ops/pallas_tail2d.py): att conv1 stays on
     XLA (measured 87 TF/s there, r5 cost table); conv2 + gate + unit0 +
     residual fuse.  Mutually exclusive with the full block2d kernel."""
-    from vs_seg_tpu.ops import pallas_tail2d
+    from vs_seg_tpu.ops.experimental import pallas_tail2d
 
     c = int(pair_in[0].shape[-1])
     return (pallas_tail2d.fusion_enabled(i)
@@ -209,7 +210,8 @@ def l2block_apply(variables, kern, pair_in, i: int, outc: int):
     the local H blocks are extended with exchanged halo rows and the exact
     center is kept (ops/halo.py:spatial_fused_halo)."""
     from vs_seg_tpu.nn import layers
-    from vs_seg_tpu.ops import pallas_block2d, pallas_l2block
+    from vs_seg_tpu.ops import pallas_l2block
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     p = variables["params"]
     att_p = p[f"upatt_{i}"]
@@ -260,7 +262,7 @@ def l2block_apply(variables, kern, pair_in, i: int, outc: int):
         import jax
 
         from vs_seg_tpu.nn.layers import conv3d, same_padding
-        from vs_seg_tpu.ops import pallas_tail2d
+        from vs_seg_tpu.ops.experimental import pallas_tail2d
 
         # att conv1 on XLA, exactly as the traced Convolution pair path
         # (Conv3d splits the concat; act=relu, norm=None)

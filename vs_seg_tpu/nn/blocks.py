@@ -135,7 +135,7 @@ class Convolution(nn.Module):
                     interpret=pallas_conv333.force_interpret())
             # Strided downsample sites between two fused blocks
             # (ops/pallas_dsconv.py, e.g. flagship downsample_2)
-            from vs_seg_tpu.ops import pallas_dsconv
+            from vs_seg_tpu.ops.experimental import pallas_dsconv
             x_eff = lookup_pad64(x)
             out64 = pallas_dsconv.ds_conv(
                 x if x_eff is None else x_eff, w, scale, shift, alpha,
@@ -161,7 +161,7 @@ class Convolution(nn.Module):
             [v.shape for v in xs], (3, 3, 3, cin, self.features))
 
     def _dsconv_fusable(self, x, train: bool) -> bool:
-        from vs_seg_tpu.ops import pallas_dsconv
+        from vs_seg_tpu.ops.experimental import pallas_dsconv
 
         if (train or self.is_transposed or isinstance(x, (tuple, list))
                 or _triple(self.kernel_size) != (3, 3, 3)
@@ -217,6 +217,18 @@ class ResidualUnit(nn.Module):
             assert not pair, "identity residual undefined for pair input"
             res = x
         out = cx + res
+        if self._headfold_fusable(train, pair, in_features):
+            # Conv-only logit head (up_0: subunits=1 + last_conv_only,
+            # reference convolutions.py:218,231): with NO norm/act between,
+            # out = conv0(x) + b0 + conv1x1(x) + br is LINEAR in the
+            # kernels, so the residual folds EXACTLY into unit0's conv
+            # (wr center-embedded, biases summed) with UNCHANGED
+            # cin/cout/kernel/strides — no emitter flip surface, unlike
+            # VS_RESFOLD's channel widening.  Kills the up_0/residual conv
+            # (12.1 ms/volume, 0.8 TF/s) and the add (2.1 ms) outright.
+            # Exactness pinned by tests/test_model.py::
+            # test_headfold_matches_reference; VS_HEADFOLD=0 restores.
+            return self._headfold_apply(x, in_features)
         if self._resfold_fusable(x, train, pair, in_features):
             # 1x1-residual fold (eval, kd=1 levels, VS_RESFOLD=1 only —
             # measured NEGATIVE, docs/KERNELS.md r4): the residual as
@@ -235,6 +247,38 @@ class ResidualUnit(nn.Module):
             # tests/test_model.py::test_fused_rublock_matches_reference.
             out = self._rublock_apply(x, in_features)
         return out
+
+    def _headfold_fusable(self, train: bool, pair: bool,
+                          in_features: int) -> bool:
+        import os
+        return (not train and self.last_conv_only and self.subunits == 1
+                and int(np.prod(_triple(self.strides))) == 1
+                and in_features != self.features
+                and not self.is_initializing()
+                and os.environ.get("VS_HEADFOLD", "1") == "1")
+
+    def _headfold_apply(self, x, in_features: int):
+        from vs_seg_tpu.nn.layers import conv3d, same_padding
+
+        p = self.variables["params"]
+        w0 = p["unit0"]["conv"]["kernel"]
+        b0 = p["unit0"]["conv"]["bias"]
+        wr, br = p["residual"]["kernel"], p["residual"]["bias"]
+        k = _triple(self.kernel_size)
+        # center-embed via pad (a .at[].add scatter miscomposes with the
+        # Manual mesh inside shard_map regions)
+        wf = w0 + jnp.pad(wr, [(k[0] // 2,) * 2, (k[1] // 2,) * 2,
+                               (k[2] // 2,) * 2, (0, 0), (0, 0)])
+        bf = b0 + br
+        pads = [(pi, pi) for pi in same_padding(k)]
+        one = (1, 1, 1)
+        if isinstance(x, (tuple, list)):
+            ca = x[0].shape[-1]
+            return (conv3d(x[0], wf[..., :ca, :], None, one, pads,
+                           dtype=self.dtype)
+                    + conv3d(x[1], wf[..., ca:, :], bf, one, pads,
+                             dtype=self.dtype))
+        return conv3d(x, wf, bf, one, pads, dtype=self.dtype)
 
     def _resfold_fusable(self, x, train: bool, pair: bool,
                          in_features: int) -> bool:
@@ -286,7 +330,8 @@ class ResidualUnit(nn.Module):
     def _rublock_fusable(self, x, train: bool, pair: bool,
                          in_features: int) -> bool:
         from vs_seg_tpu.nn import layers
-        from vs_seg_tpu.ops import pallas_block2d, pallas_rublock
+        from vs_seg_tpu.ops import pallas_rublock
+        from vs_seg_tpu.ops.experimental import pallas_block2d
 
         kern = _triple(self.kernel_size)
         if (train or pair or self.subunits != 2 or self.last_conv_only
@@ -312,7 +357,8 @@ class ResidualUnit(nn.Module):
                 and pallas_block2d.can_block2d(x.shape, cp, 1))
 
     def _rublock_apply(self, x, in_features: int):
-        from vs_seg_tpu.ops import pallas_block2d, pallas_rublock
+        from vs_seg_tpu.ops import pallas_rublock
+        from vs_seg_tpu.ops.experimental import pallas_block2d
 
         p = self.variables["params"]
         bs = self.variables["batch_stats"]
@@ -376,7 +422,7 @@ class AttentionBlock1(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  gate: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        from vs_seg_tpu.ops import pallas_att
+        from vs_seg_tpu.ops.experimental import pallas_att
 
         pair = isinstance(x, (tuple, list))
         c = (sum(v.shape[-1] for v in x) if pair else x.shape[-1])

@@ -211,7 +211,7 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
         # Train-mode backward fusion: same XLA forward, Pallas banded
         # dx/dw/db (ops/pallas_train.py) — covers the L2/L3 (3,3,3) conv
         # sites (incl. decoder pair halves via Conv3d's split)
-        from vs_seg_tpu.ops import pallas_train
+        from vs_seg_tpu.ops.experimental import pallas_train
         if (pallas_train.fusion_enabled()
                 and pallas_train.can_train_conv(x.shape, w.shape)):
             y = pallas_train.conv333_train(

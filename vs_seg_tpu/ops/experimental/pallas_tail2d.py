@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vs_seg_tpu.ops.blockmats import build_mats_g, build_res_mats_g
-from vs_seg_tpu.ops.pallas_block2d import _pad_vec_g
+from vs_seg_tpu.ops.experimental.pallas_block2d import _pad_vec_g
 from vs_seg_tpu.ops.pallas_l2block import _edge_prep, _mm
 
 HAL = 2  # slab halo lines each side (conv2 then unit0: 2 convs deep in H)
