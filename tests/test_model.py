@@ -405,8 +405,8 @@ def test_fused_blocks_no_attention_model():
     """All mega-kernel gates on with attention OFF: the decoder fusions
     must stay out (they require the attention block) while the encoder
     rublock/block2d paths still reproduce the unfused forward."""
-    from vs_seg_tpu.ops import pallas_l2block
-    from vs_seg_tpu.ops.experimental import pallas_block2d, pallas_rublock
+    from vs_seg_tpu.ops import pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops.experimental import pallas_block2d
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -436,9 +436,8 @@ def test_fused_blocks_never_dispatch_in_training():
     """Training mode must be bit-identical with all fusion gates forced:
     the fused kernels are eval-only (folded BN) and the dispatch guards
     must keep them out of the train path."""
-    from vs_seg_tpu.ops import (
-        pallas_block2d, pallas_dsconv, pallas_l2block, pallas_rublock,
-    )
+    from vs_seg_tpu.ops import pallas_l2block, pallas_rublock
+    from vs_seg_tpu.ops.experimental import pallas_block2d, pallas_dsconv
 
     cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
                kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3)),
@@ -555,6 +554,33 @@ def test_headfold_matches_reference(monkeypatch):
     monkeypatch.setenv("VS_HEADFOLD", "0")
     logits_ref, atts_ref = model.apply(variables, x, train=False)
     monkeypatch.setenv("VS_HEADFOLD", "1")
+    logits, atts = model.apply(variables, x, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-5, rtol=2e-5)
+    for a, r in zip(atts, atts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_res331_matches_reference(monkeypatch):
+    """The pair-input 1x1-residual-as-(3,3,1) rewrite (VS_RES331): wr
+    center-embedded in a zero kernel computes identical values through the
+    fast conv emitter (reference semantics convolutions.py:241-250)."""
+    cfg = dict(channels=(8, 16, 32), strides=((2, 2, 1), (2, 2, 2)),
+               kernel_sizes=((3, 3, 1), (3, 3, 1), (3, 3, 3)),
+               sample_kernel_sizes=((3, 3, 1), (3, 3, 3)))
+    model = UNet2d5_spvPA(out_channels=2, num_res_units=2, dropout=None,
+                          attention_module=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(np.random.default_rng(17).normal(size=(1, 8, 32, 32, 1)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, variables)
+
+    monkeypatch.setenv("VS_RES331", "0")
+    logits_ref, atts_ref = model.apply(variables, x, train=False)
+    monkeypatch.setenv("VS_RES331", "1")
     logits, atts = model.apply(variables, x, train=False)
 
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),

@@ -213,6 +213,18 @@ class ResidualUnit(nn.Module):
             rpad = None if int(np.prod(strides)) != 1 else (0, 0, 0)
             res = Conv3d(self.features, rkernel, strides, padding=rpad,
                          dtype=self.dtype, name="residual")(x)
+            if self._res331_fusable(train, pair, rkernel):
+                # The 1x1x1 residual's emitter is pathological at the
+                # pair-input decoder sites (up_1/residual: 12.07 ms/volume
+                # at 0.8 TF/s, EmitAllBatchInSublanes — r5 cost table)
+                # while the SAME-shape (3,3,1) convs there run at
+                # ~90-170 TF/s.  Recompute it as a (3,3,1) conv with wr
+                # center-embedded in a zero kernel — 9x the (cheap) MACs,
+                # but the fast emitter; identical values.  The traced 1x1
+                # conv above keeps the parameters and falls to DCE.
+                # Exactness: tests/test_model.py::test_res331_matches_
+                # reference; VS_RES331 gates the bench A/B.
+                res = self._res331_apply(x)
         else:
             assert not pair, "identity residual undefined for pair input"
             res = x
@@ -247,6 +259,29 @@ class ResidualUnit(nn.Module):
             # tests/test_model.py::test_fused_rublock_matches_reference.
             out = self._rublock_apply(x, in_features)
         return out
+
+    def _res331_fusable(self, train: bool, pair: bool, rkernel) -> bool:
+        import os
+        return (not train and pair and _triple(rkernel) == (1, 1, 1)
+                and _triple(self.kernel_size) == (3, 3, 1)
+                and not self.is_initializing()
+                and os.environ.get("VS_RES331", "0") == "1")
+
+    def _res331_apply(self, x):
+        from vs_seg_tpu.nn.layers import conv3d, same_padding
+
+        p = self.variables["params"]["residual"]
+        wr, br = p["kernel"], p["bias"]
+        k = _triple(self.kernel_size)
+        wf = jnp.pad(wr, [(k[0] // 2,) * 2, (k[1] // 2,) * 2,
+                          (k[2] // 2,) * 2, (0, 0), (0, 0)])
+        pads = [(pi, pi) for pi in same_padding(k)]
+        one = (1, 1, 1)
+        ca = x[0].shape[-1]
+        return (conv3d(x[0], wf[..., :ca, :], None, one, pads,
+                       dtype=self.dtype)
+                + conv3d(x[1], wf[..., ca:, :], br, one, pads,
+                         dtype=self.dtype))
 
     def _headfold_fusable(self, train: bool, pair: bool,
                           in_features: int) -> bool:
