@@ -193,12 +193,15 @@ def main():
         "device_mfu": round(device_tflops * 1e12 / V5E_PEAK_BF16, 4)
         if platform == "tpu" else None,
         "pallas_blend": sw.LAST_USED_PALLAS,
-        # effective gate state (VS_L2BLOCK+VS_RUBLOCK default ON: r3 A/B win)
+        # effective gate state (defaults: l2block+rublock r3 A/B win;
+        # l2tap+headfold r5 A/B wins — docs/KERNELS.md gate tables)
         "fusion_gates": {k.lower().replace("vs_", ""):
                          os.environ.get(k, "1" if k in ("VS_L2BLOCK",
-                                                        "VS_RUBLOCK") else "0")
+                                                        "VS_RUBLOCK",
+                                                        "VS_L2TAP",
+                                                        "VS_HEADFOLD") else "0")
                          for k in ("VS_CONV333", "VS_L2BLOCK", "VS_RUBLOCK",
-                                   "VS_L2BLOCK2D", "VS_RUBLOCK2D",
+                                   "VS_L2TAP", "VS_HEADFOLD", "VS_RES331",
                                    "VS_DSCONV")},
     }))
 

@@ -359,11 +359,24 @@ def test_fused_blocks_compose():
     pallas_rublock.FORCE_INTERPRET = True
     try:
         logits, _ = model.apply(variables, x, train=False)
+        # x-edge-cache + DMA-prefetch variants (VS_XCACHE/VS_DMAPRE) of
+        # both kernels
+        pallas_l2block.FORCE_XCACHE = True
+        logits_xc, _ = model.apply(variables, x, train=False)
+        pallas_l2block.FORCE_XCACHE = False
+        pallas_l2block.FORCE_DMAPRE = True
+        logits_dp, _ = model.apply(variables, x, train=False)
     finally:
         pallas_l2block.FORCE_INTERPRET = False
         pallas_rublock.FORCE_INTERPRET = False
+        pallas_l2block.FORCE_XCACHE = False
+        pallas_l2block.FORCE_DMAPRE = False
 
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits_xc), np.asarray(logits_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits_dp), np.asarray(logits_ref),
                                atol=2e-4, rtol=2e-4)
 
 

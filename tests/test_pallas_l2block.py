@@ -20,6 +20,8 @@ def _reference(xa, xb, att_vars, ru_vars):
     return ru.apply(ru_vars, (ga, gb), train=False)
 
 
+@pytest.mark.parametrize("xcache,dmapre", [
+    (False, False), (True, False), (False, True), (True, True)])
 @pytest.mark.parametrize("tap2", [False, True])
 @pytest.mark.parametrize("dims", [
     (1, 4, 16, 16, 48),   # flagship-like channels
@@ -28,7 +30,7 @@ def _reference(xa, xb, att_vars, ru_vars):
     (1, 1, 16, 16, 48),   # single depth plane (pipeline flush edge)
     (3, 2, 32, 16, 24),   # multi-H-tile x multi-batch
 ])
-def test_l2block_matches_composed_blocks(dims, tap2):
+def test_l2block_matches_composed_blocks(dims, tap2, xcache, dmapre):
     from vs_seg_tpu.ops import pallas_l2block
     B, D, H, W, C = dims
     rng = np.random.default_rng(0)
@@ -60,6 +62,8 @@ def test_l2block_matches_composed_blocks(dims, tap2):
     shift = (rp["unit0"]["norm"]["bias"] - bs["mean"] * inv
              + rp["unit0"]["conv"]["bias"] * inv)
     pallas_l2block.FORCE_TAP2 = tap2
+    pallas_l2block.FORCE_XCACHE = xcache
+    pallas_l2block.FORCE_DMAPRE = dmapre
     try:
         out = l2_block(
             xa, xb,
@@ -72,6 +76,8 @@ def test_l2block_matches_composed_blocks(dims, tap2):
             interpret=True)
     finally:
         pallas_l2block.FORCE_TAP2 = False
+        pallas_l2block.FORCE_XCACHE = False
+        pallas_l2block.FORCE_DMAPRE = False
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)

@@ -67,16 +67,19 @@ from vs_seg_tpu.ops.pallas_conv333 import _build_mats
 OF = 4
 
 
-def dma_slab_3piece(x_ref, dst, sem, body_src, halo, body, total):
-    """DMA a (halo + body + halo)-row slab around flat row `body_src` into
-    `dst`, as three full-destination copies with CLAMPED source offsets.
-    The clamped front/back pieces read in-bounds garbage exactly when the
-    halo crosses the array ends — rows the kernels' H-tile/plane masks
-    already zero (halo rows are only real when the adjacent tile is in the
-    same plane).  Replaces the global OF*nb row pad of the flat view, which
-    was a full extra HBM copy of every input (measured ~14 ms/volume at
-    bench shapes, the jit(_pad) rows of the r5 cost table).  All offsets
-    are multiples of nb (nb % 8 == 0), so sublane alignment holds."""
+def slab_3piece_copies(x_ref, dst, sem, body_src, halo, body, total):
+    """Descriptors for a (halo + body + halo)-row slab DMA around flat row
+    `body_src` into `dst`, as three full-destination copies with CLAMPED
+    source offsets.  The clamped front/back pieces read in-bounds garbage
+    exactly when the halo crosses the array ends — rows the kernels'
+    H-tile/plane masks already zero (halo rows are only real when the
+    adjacent tile is in the same plane).  Replaces the global OF*nb row pad
+    of the flat view, which was a full extra HBM copy of every input
+    (measured ~14 ms/volume at bench shapes, the jit(_pad) rows of the r5
+    cost table).  All offsets are multiples of nb (nb % 8 == 0), so sublane
+    alignment holds.  Returns the three copy descriptors; callers start and
+    wait them (possibly in different grid steps — the descriptors are
+    reconstructed identically at wait time, the standard Mosaic pattern)."""
     # every term is a multiple of nb and nb % 8 == 0; Mosaic cannot prove
     # that through the clamps, hence the multiple_of hints
     front = pltpu.make_async_copy(
@@ -90,12 +93,16 @@ def dma_slab_3piece(x_ref, dst, sem, body_src, halo, body, total):
         x_ref.at[pl.ds(pl.multiple_of(
             jnp.minimum(body_src + body, total - halo), 8), halo)],
         dst.at[pl.ds(halo + body, halo)], sem)
-    front.start()
-    mid.start()
-    back.start()
-    front.wait()
-    mid.wait()
-    back.wait()
+    return (front, mid, back)
+
+
+def dma_slab_3piece(x_ref, dst, sem, body_src, halo, body, total):
+    """Synchronous 3-piece slab DMA: start all pieces, wait all."""
+    copies = slab_3piece_copies(x_ref, dst, sem, body_src, halo, body, total)
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
 
 
 def _edge_prep(buf, nb: int, dtype):
@@ -120,8 +127,9 @@ def _mm(lhs, mat):
 
 def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2p_ref,
                     w0m_ref, w0e_ref, wr_ref, eps_ref, out_ref,
-                    xr_a, xr_b, a1m_r, a1x_r, gm_a, gx_a, gm_b, gx_b, sem,
-                    *, ht, h, nb, d_per_b, out_dtype, tap2):
+                    xr_a, xr_b, xe_a, xe_b, a1m_r, a1x_r,
+                    gm_a, gx_a, gm_b, gx_b, sem,
+                    *, ht, h, nb, d_per_b, out_dtype, tap2, xcache, dmapre):
     b = pl.program_id(0)
     s = pl.program_id(2)
     ti = pl.program_id(1)
@@ -132,26 +140,80 @@ def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2p_ref,
     rows_o = ht * nb
 
     x_rings = (xr_a, xr_b)
+    xe_rings = (xe_a, xe_b)
     g_rings = ((gm_a, gx_a), (gm_b, gx_b))
 
+    rd = 4 if dmapre else 3  # x-ring depth (4 leaves the prefetch slot free)
+
+    def _plane_copies(xi, p):
+        body_src = ((b * d_per_b + p) * h + ti * ht) * nb
+        total = pl.num_programs(0) * d_per_b * h * nb
+        return slab_3piece_copies((xa_ref, xb_ref)[xi],
+                                  x_rings[xi].at[p % rd], sem.at[xi],
+                                  body_src, OF * nb, ht * nb, total)
+
     # ---- stage A: DMA plane s of both inputs into the x rings ----------
+    # With dmapre (VS_DMAPRE), plane s+1's copies are STARTED here and
+    # waited at step s+1, so each step's DMA latency hides under this
+    # step's compute; only plane 0 (once per (b, ti) tile) pays the
+    # synchronous wait.  Readers span planes s-2..s = slots (s-2..s) % 4,
+    # never the in-flight slot (s+1) % 4.
     @pl.when(s < d_per_b)
     def _load():
-        body_src = ((b * d_per_b + s) * h + ti * ht) * nb
-        total = pl.num_programs(0) * d_per_b * h * nb
-        for xi, (x_ref, ring) in enumerate(zip((xa_ref, xb_ref), x_rings)):
-            dma_slab_3piece(x_ref, ring.at[s % 3], sem.at[xi], body_src,
-                            OF * nb, ht * nb, total)
+        if dmapre:
+            @pl.when(s == 0)
+            def _first():
+                for xi in range(2):
+                    for c in _plane_copies(xi, 0):
+                        c.start()
+            for xi in range(2):
+                for c in _plane_copies(xi, s):
+                    c.wait()
+            @pl.when(s + 1 < d_per_b)
+            def _next():
+                for xi in range(2):
+                    for c in _plane_copies(xi, s + 1):
+                        c.start()
+        else:
+            for xi in range(2):
+                cs = _plane_copies(xi, s)
+                for c in cs:
+                    c.start()
+                for c in cs:
+                    c.wait()
+        if xcache:
+            # x-edge cache (VS_XCACHE): zero the H-tile halo rows in place
+            # and compute each plane's edge-matmul operand ONCE on arrival,
+            # instead of re-deriving it (~9 VPU passes) at every depth-tap
+            # consumer — stage B touches each plane as 3 different taps.
+            fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+            halo_bad = (((ti == 0) & (fr < OF * nb))
+                        | ((ti == nt - 1) & (fr >= srows - OF * nb)))
+            for ring, ering in zip(x_rings, xe_rings):
+                slab = jnp.where(halo_bad, jnp.zeros((), ring.dtype),
+                                 ring[s % rd])
+                ring[s % rd] = slab
+                ering[s % rd] = _edge_prep(slab, nb, slab.dtype)
 
     def x_slab(xi, p):
         """Plane-p slab of input xi, with invalid rows zeroed (out-of-range
-        plane; H-tile halo rows that crossed a plane boundary)."""
-        slab = x_rings[xi][jax.lax.rem(p + 3, 3)]
-        fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
-        bad = ((p < 0) | (p >= d_per_b)
-               | ((ti == 0) & (fr < OF * nb))
-               | ((ti == nt - 1) & (fr >= srows - OF * nb)))
+        plane; H-tile halo rows that crossed a plane boundary — the latter
+        already zeroed in-ring at arrival under xcache)."""
+        slab = x_rings[xi][jax.lax.rem(p + rd, rd)]
+        bad = (p < 0) | (p >= d_per_b)
+        if not xcache:
+            fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+            bad = (bad | ((ti == 0) & (fr < OF * nb))
+                   | ((ti == nt - 1) & (fr >= srows - OF * nb)))
         return jnp.where(bad, jnp.zeros((), slab.dtype), slab)
+
+    def x_edge(xi, p):
+        """Cached edge-matmul operand of plane p (xcache only); whole-slab
+        zero when the plane is out of range (roll is row-local, so masking
+        after _edge_prep equals _edge_prep of the all-zero slab)."""
+        e = xe_rings[xi][jax.lax.rem(p + rd, rd)]
+        return jnp.where((p < 0) | (p >= d_per_b),
+                         jnp.zeros((), e.dtype), e)
 
     # ---- stage B: a1(s-1) = relu(conv1(pair x) + b1) --------------------
     @pl.when((s >= 1) & (s - 1 < d_per_b))
@@ -162,7 +224,8 @@ def _l2block_kernel(xa_ref, xb_ref, w1m_ref, w1e_ref, w2p_ref,
         for xi in range(2):
             for dd in range(3):
                 slab = x_slab(xi, q + dd - 1)
-                xr = _edge_prep(slab, nb, slab.dtype)
+                xr = (x_edge(xi, q + dd - 1) if xcache
+                      else _edge_prep(slab, nb, slab.dtype))
                 for dh in range(3):
                     # a1 output rows start at h0-2; tap dh reads input rows
                     # h0-2+(dh-1) -> slab offset (OF-3+dh)*nb
@@ -399,15 +462,19 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
     nt = H // ht
 
     grid = (B, nt, D + 3)
+    xcache = xcache_enabled()
+    dmapre = dmapre_enabled()
+    rd = 4 if dmapre else 3
     if tap2:
         a1_rings = [pltpu.VMEM((3, rows_a1, 128), jnp.float32),  # P ring
                     pltpu.VMEM((1, 8, 128), dtype)]              # unused
     else:
         a1_rings = [pltpu.VMEM((3, rows_a1, 128), dtype),   # a1 main ring
                     pltpu.VMEM((3, rows_a1, 128), dtype)]   # a1 edge ring
+    xe_shape = (rd, srows, 128) if xcache else (1, 8, 128)
     kernel = pl.pallas_call(
         partial(_l2block_kernel, ht=ht, h=H, nb=nb, d_per_b=D,
-                out_dtype=dtype, tap2=tap2),
+                out_dtype=dtype, tap2=tap2, xcache=xcache, dmapre=dmapre),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
@@ -418,8 +485,10 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows * nb, 128), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, srows, 128), dtype),      # xr_a
-            pltpu.VMEM((3, srows, 128), dtype),      # xr_b
+            pltpu.VMEM((rd, srows, 128), dtype),     # xr_a
+            pltpu.VMEM((rd, srows, 128), dtype),     # xr_b
+            pltpu.VMEM(xe_shape, dtype),             # xe_a (edge cache)
+            pltpu.VMEM(xe_shape, dtype),             # xe_b (edge cache)
         ] + a1_rings + [
             pltpu.VMEM((3, rows_g, 128), dtype),     # gated a main
             pltpu.VMEM((3, rows_g, 128), dtype),     # gated a edge
@@ -434,9 +503,31 @@ def l2_block(xa, xb, *, w1, b1, w2, b2, w0, bn_scale, bn_shift, alpha, wr,
     return out if out_padded else out[..., :C]
 
 
+def xcache_enabled() -> bool:
+    """x-edge cache: compute each input plane's edge-matmul operand once on
+    DMA arrival (stage A) instead of re-deriving it at every depth-tap
+    consumer, and zero the H-tile halo rows in-ring.  Costs one extra
+    (3, srows, 128) ring per input (counted in the VMEM estimates)."""
+    import os
+    return FORCE_XCACHE or os.environ.get("VS_XCACHE", "0") == "1"
+
+
+def dmapre_enabled() -> bool:
+    """One-step DMA prefetch: plane s+1's slab copies start during step s's
+    compute and are waited at step s+1, hiding the per-grid-step DMA
+    latency the synchronous 3-piece wait exposes (stage A is the critical
+    path: the r5 xcache negative measured +8 ms from adding VPU work
+    there).  Costs one extra x-ring slot per input (depth 4)."""
+    import os
+    return FORCE_DMAPRE or os.environ.get("VS_DMAPRE", "0") == "1"
+
+
 def _l2_vmem_est(ht: int, nb: int) -> int:
     srows = (ht + 2 * OF) * nb
-    bufs = (2 * 3 * srows + 2 * 3 * (ht + 4) * nb + 4 * 3 * (ht + 2) * nb)
+    rd = 4 if dmapre_enabled() else 3
+    bufs = (2 * rd * srows + 2 * 3 * (ht + 4) * nb + 4 * 3 * (ht + 2) * nb)
+    if xcache_enabled():
+        bufs += 2 * rd * srows                       # xe_a/xe_b edge caches
     mats = (36 + 36 + 18 + 2) * 128 * 128
     accs = 2 * ht * nb * 128 * 4 + ht * nb * 128 * 2
     temps = 4 * srows * 128 * 4                      # roll/select f32 views
@@ -467,6 +558,10 @@ def can_l2_block(shape, C: int) -> bool:
 FORCE_INTERPRET = False
 # Tests set this to force the tap-packed conv2 variant regardless of env.
 FORCE_TAP2 = False
+# Tests set this to force the x-edge cache variant regardless of env.
+FORCE_XCACHE = False
+# Tests set this to force the DMA-prefetch variant regardless of env.
+FORCE_DMAPRE = False
 
 
 def tap2_enabled() -> bool:

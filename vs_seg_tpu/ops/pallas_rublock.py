@@ -42,13 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vs_seg_tpu.ops.pallas_conv333 import _build_mats
 from vs_seg_tpu.ops.pallas_l2block import (
-    OF, _edge_prep, _mm, _pad_vec, dma_slab_3piece,
+    OF, _edge_prep, _mm, _pad_vec, slab_3piece_copies,
 )
 
 
 def _rublock_kernel(x_ref, w0m_ref, w0e_ref, w1m_ref, w1e_ref, wr_ref,
-                    eps_ref, out_ref, xr, u0m_r, u0x_r, sem,
-                    *, ht, h, nb, d_per_b, out_dtype):
+                    eps_ref, out_ref, xr, xer, u0m_r, u0x_r, sem,
+                    *, ht, h, nb, d_per_b, out_dtype, xcache, dmapre):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     s = pl.program_id(2)
@@ -57,23 +57,63 @@ def _rublock_kernel(x_ref, w0m_ref, w0e_ref, w1m_ref, w1e_ref, wr_ref,
     rows_u0 = (ht + 2) * nb
     rows_o = ht * nb
 
+    rd = 4 if dmapre else 3  # x-ring depth (4 leaves the prefetch slot free)
+
+    def _plane_copies(p):
+        body_src = ((b * d_per_b + p) * h + ti * ht) * nb
+        total = pl.num_programs(0) * d_per_b * h * nb
+        return slab_3piece_copies(x_ref, xr.at[p % rd], sem, body_src,
+                                  OF * nb, ht * nb, total)
+
     # ---- stage A: DMA plane s of the input into the x ring --------------
+    # dmapre: plane s+1's copies start here, waited at step s+1 (see
+    # pallas_l2block stage A) — readers span planes s-2..s, never the
+    # in-flight slot (s+1) % 4.
     @pl.when(s < d_per_b)
     def _load():
-        body_src = ((b * d_per_b + s) * h + ti * ht) * nb
-        total = pl.num_programs(0) * d_per_b * h * nb
-        dma_slab_3piece(x_ref, xr.at[s % 3], sem, body_src, OF * nb,
-                        ht * nb, total)
+        if dmapre:
+            @pl.when(s == 0)
+            def _first():
+                for c in _plane_copies(0):
+                    c.start()
+            for c in _plane_copies(s):
+                c.wait()
+            @pl.when(s + 1 < d_per_b)
+            def _next():
+                for c in _plane_copies(s + 1):
+                    c.start()
+        else:
+            cs = _plane_copies(s)
+            for c in cs:
+                c.start()
+            for c in cs:
+                c.wait()
+        if xcache:
+            # x-edge cache (VS_XCACHE, see pallas_l2block.xcache_enabled):
+            # halo rows zeroed in-ring, edge operand computed once per plane.
+            fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+            halo_bad = (((ti == 0) & (fr < OF * nb))
+                        | ((ti == nt - 1) & (fr >= srows - OF * nb)))
+            slab = jnp.where(halo_bad, jnp.zeros((), xr.dtype), xr[s % rd])
+            xr[s % rd] = slab
+            xer[s % rd] = _edge_prep(slab, nb, slab.dtype)
 
     def x_slab(p):
         """Plane-p slab with invalid rows zeroed (out-of-range plane;
-        H-tile halo rows that crossed a plane boundary)."""
-        slab = xr[jax.lax.rem(p + 3, 3)]
-        fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
-        bad = ((p < 0) | (p >= d_per_b)
-               | ((ti == 0) & (fr < OF * nb))
-               | ((ti == nt - 1) & (fr >= srows - OF * nb)))
+        H-tile halo rows that crossed a plane boundary — the latter already
+        zeroed in-ring at arrival under xcache)."""
+        slab = xr[jax.lax.rem(p + rd, rd)]
+        bad = (p < 0) | (p >= d_per_b)
+        if not xcache:
+            fr = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
+            bad = (bad | ((ti == 0) & (fr < OF * nb))
+                   | ((ti == nt - 1) & (fr >= srows - OF * nb)))
         return jnp.where(bad, jnp.zeros((), slab.dtype), slab)
+
+    def x_edge(p):
+        e = xer[jax.lax.rem(p + rd, rd)]
+        return jnp.where((p < 0) | (p >= d_per_b),
+                         jnp.zeros((), e.dtype), e)
 
     # ---- stage B: u0(s-1) = prelu(conv0(x)*bn0_s + bn0_h) ---------------
     @pl.when((s >= 1) & (s - 1 < d_per_b))
@@ -83,7 +123,8 @@ def _rublock_kernel(x_ref, w0m_ref, w0e_ref, w1m_ref, w1e_ref, wr_ref,
         k = 0
         for dd in range(3):
             slab = x_slab(q + dd - 1)
-            xe = _edge_prep(slab, nb, slab.dtype)
+            xe = (x_edge(q + dd - 1) if xcache
+                  else _edge_prep(slab, nb, slab.dtype))
             for dh in range(3):
                 # u0 rows start at h0-1; tap dh reads input rows
                 # h0-1+(dh-1) -> slab offset (OF-2+dh)*nb
@@ -192,9 +233,13 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
     nt = H // ht
 
     grid = (B, nt, D + 2)
+    from vs_seg_tpu.ops.pallas_l2block import dmapre_enabled, xcache_enabled
+    xcache = xcache_enabled()
+    dmapre = dmapre_enabled()
+    rd = 4 if dmapre else 3
     kernel = pl.pallas_call(
         partial(_rublock_kernel, ht=ht, h=H, nb=nb, d_per_b=D,
-                out_dtype=dtype),
+                out_dtype=dtype, xcache=xcache, dmapre=dmapre),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
@@ -205,7 +250,9 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows * nb, 128), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, srows, 128), dtype),      # x ring
+            pltpu.VMEM((rd, srows, 128), dtype),     # x ring
+            pltpu.VMEM((rd, srows, 128) if xcache else (1, 8, 128),
+                       dtype),                       # x edge cache
             pltpu.VMEM((3, rows_u0, 128), dtype),    # u0 main ring
             pltpu.VMEM((3, rows_u0, 128), dtype),    # u0 edge ring
             pltpu.SemaphoreType.DMA,
@@ -217,8 +264,12 @@ def ru_block(x, *, w0, bn0_scale, bn0_shift, alpha0, w1, bn1_scale,
 
 
 def _ru_vmem_est(ht: int, nb: int) -> int:
+    from vs_seg_tpu.ops.pallas_l2block import dmapre_enabled, xcache_enabled
     srows = (ht + 2 * OF) * nb
-    bufs = 3 * srows + 2 * 3 * (ht + 2) * nb
+    rd = 4 if dmapre_enabled() else 3
+    bufs = rd * srows + 2 * 3 * (ht + 2) * nb
+    if xcache_enabled():
+        bufs += rd * srows                           # x edge cache ring
     mats = (36 + 1) * 128 * 128
     accs = ht * nb * 128 * 4 * 2 + (ht + 2) * nb * 128 * 4
     temps = 4 * srows * 128 * 4                      # roll/select f32 views
